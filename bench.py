@@ -1,0 +1,83 @@
+"""Benchmark: scenes/sec/chip for 50-step DDIM sampling at 256x256 (the
+BASELINE.json north-star metric) on the flagship UNet2D.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md), so the baseline is the reference's own sampler setting —
+750-step ancestral DDPM (scripts/generation.py:5) — measured on the SAME
+chip with the same model. vs_baseline = ddim50 throughput / ddpm750
+throughput, i.e. the speedup a reference user gets by switching.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _throughput(sample_fn, key, batch, n_iters=3):
+    # Warmup / compile.
+    out = sample_fn(key)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample_fn(jax.random.fold_in(key, i))
+        out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch / dt, dt
+
+
+def main():
+    from drivescenegen_tpu.config import DiffusionConfig, ModelConfig
+    from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+    from drivescenegen_tpu.models import UNet2D
+
+    n_chips = len(jax.devices())
+    platform = jax.devices()[0].platform
+
+    model = UNet2D(ModelConfig())
+    schedule = make_schedule(DiffusionConfig())
+    res = 256
+    batch = 8
+
+    x0 = jnp.zeros((1, res, res, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x0, jnp.zeros((1,), jnp.int32))
+
+    def denoise_fn(x, t):
+        return model.apply(params, x, t)
+
+    shape = (batch, res, res, 3)
+
+    @jax.jit
+    def run_ddim(key):
+        return ddim_sample(denoise_fn, schedule, shape, key, num_inference_steps=50)
+
+    @jax.jit
+    def run_ddpm(key):
+        return ddpm_sample(denoise_fn, schedule, shape, key, num_inference_steps=750)
+
+    ddim_tput, ddim_dt = _throughput(run_ddim, jax.random.key(1), batch, n_iters=3)
+    ddpm_tput, ddpm_dt = _throughput(run_ddpm, jax.random.key(2), batch, n_iters=1)
+
+    result = {
+        "metric": f"scenes/sec/chip, 50-step DDIM @ {res}x{res} ({platform})",
+        "value": round(ddim_tput / max(n_chips, 1), 4),
+        "unit": "scenes/s/chip",
+        "vs_baseline": round(ddim_tput / ddpm_tput, 2),
+        "detail": {
+            "ddim50_batch_time_s": round(ddim_dt, 3),
+            "ddpm750_scenes_per_s_per_chip": round(ddpm_tput / max(n_chips, 1), 4),
+            "batch": batch,
+            "n_chips": n_chips,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

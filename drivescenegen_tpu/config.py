@@ -1,0 +1,213 @@
+"""Typed configuration tree for all five pipeline stages.
+
+The reference scatters configuration across argparse flags, YAML files and a
+hard-coded dataclass (reference: scripts/train.py:12-28,
+config/data_rasterization.yaml, config/vectorization.yaml). Here one typed
+tree covers every stage; YAML files can overlay any subset of fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh axes. 1-chip = (1, 1); v5e-8 DP = (8, 1)."""
+
+    data: int = -1  # -1: use all available devices on the data axis
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class RasterConfig:
+    """Analytic BEV rasterizer (reference: config/data_rasterization.yaml,
+    utils/datasets/rasterization.py:15-188)."""
+
+    map_range: float = 80.0  # total extent in metres; half-range = map_range/2
+    img_res: int = 256  # rasterize directly at the training resolution
+    supersample: int = 2  # internal oversampling factor (replaces 512->256 resize)
+    with_agent: bool = True
+    background: float = 0.5  # gray background value (rasterization.py:113)
+    color_max: float = 0.99  # MinMaxScaler feature_range upper bound (map_processing.py:218)
+    line_radius_px: float = 0.9  # half-width of the splatted lane ribbon, in output px
+    num_points_each_polyline: int = 100  # padding chunk size (rasterization.py:44)
+    max_polylines: int = 256  # fixed-shape padding budget
+    max_agents: int = 128
+    interp_step_px: float = 0.4  # segment interpolation spacing, in output px
+
+
+@dataclass
+class ModelConfig:
+    """UNet2D matching the reference's diffusers UNet2DModel semantics
+    (reference: scripts/train.py:39-57)."""
+
+    sample_size: int = 256
+    in_channels: int = 3
+    out_channels: int = 3
+    layers_per_block: int = 2
+    block_out_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    norm_num_groups: int = 32
+    attention_head_dim: int = 64  # TPU-friendly head dim (MXU lane = 128)
+    dropout: float = 0.0
+    # Conditioning (config-5: map-conditioned agent inpainting).
+    cond_channels: int = 0  # extra channels concatenated to the input
+    # bf16 activations (TPU-native analog of the reference's fp16 AMP,
+    # training_pipeline.py:49).
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class DiffusionConfig:
+    """DDPM schedule = diffusers DDPMScheduler() defaults
+    (reference: scripts/train.py:65)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    beta_schedule: str = "linear"
+    clip_sample: bool = True
+    prediction_type: str = "epsilon"
+    variance_type: str = "fixed_small"
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters (reference: scripts/train.py:12-28)."""
+
+    batch_size: int = 14  # per-step GLOBAL batch (sharded over the data axis)
+    num_epochs: int = 10
+    learning_rate: float = 1e-5
+    lr_warmup_steps: int = 500
+    grad_clip_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01  # torch AdamW default (scripts/train.py:66)
+    seed: int = 14555
+    save_model_epochs: int = 1
+    save_image_epochs: int = 1
+    eval_batch_size: int = 1
+    eval_inference_steps: int = 750
+    mixed_precision: str = "bf16"
+    log_every: int = 50
+    output_dir: str = "./outputs/model_dxdy_agents_256_s80"
+    dataset_glob: str = "./data/rasterized/GT_70k_s80_dxdy_agents_img/*"
+    checkpoint_max_to_keep: int = 3
+
+
+@dataclass
+class GenerationConfig:
+    """Sampling stage (reference: scripts/generation.py:5-24)."""
+
+    sampler: str = "ddpm"  # "ddpm" (reference parity) or "ddim" (fast path)
+    num_inference_steps: int = 750
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
+    batch_size: int = 5
+    num_batches: int = 20
+    seed: Optional[int] = None
+    model_dir: str = "./outputs/model_dxdy_agents_256_s80"
+    output_dir: str = "./data/generated_80m_5k/diffusion"
+    guidance_scale: float = 1.0  # classifier-free guidance (conditional models)
+
+
+@dataclass
+class VectorizeConfig:
+    """Stage-2 vectorization (reference: config/vectorization.yaml,
+    scripts/vectorization.py:24-84)."""
+
+    map_range: float = 80.0
+    img_res: int = 256
+    method: str = "GRAPH_FIT"
+    plot: bool = False
+    min_distance: int = 4  # node-merge threshold px (image_to_polylines.py:21)
+    intersection_offset: int = 5  # stub cut offset (image_to_polylines.py:670)
+    length_thresh: int = 25  # long-edge cut threshold (image_to_polylines.py:342)
+    n_workers: int = 8
+    # Agent extraction gates (extract_vehicles.py:130).
+    agent_dist_thresh: float = 3.0
+    agent_min_speed: float = 2.0
+    agent_max_speed: float = 10.0
+
+
+@dataclass
+class PreprocessConfig:
+    """Stage-0 ingestion (reference: scripts/data_preprocess.py:205-228)."""
+
+    load_path: str = "./data/raw"
+    save_path: str = "./data/preprocessed"
+    n_workers: int = 8
+    format: str = "pickle"  # "pickle" (reference parity) or "npz" (packed arrays)
+
+
+@dataclass
+class MetricsConfig:
+    """Map metrics (reference: scripts/compute_map_metrics.py:15-26)."""
+
+    map_range: float = 120.0
+    map_res: int = 256
+    num_samples: int = 5000
+
+
+@dataclass
+class Config:
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    raster: RasterConfig = field(default_factory=RasterConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    vectorize: VectorizeConfig = field(default_factory=VectorizeConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    metrics: MetricsConfig = field(default_factory=MetricsConfig)
+
+
+def _apply_overlay(obj: Any, overlay: dict) -> Any:
+    """Recursively apply a dict overlay onto a dataclass instance."""
+    if not dataclasses.is_dataclass(obj):
+        raise TypeError(f"cannot overlay onto non-dataclass {type(obj)}")
+    field_types = {f.name: f for f in dataclasses.fields(obj)}
+    updates = {}
+    for key, value in overlay.items():
+        if key not in field_types:
+            raise KeyError(
+                f"unknown config key {key!r} for {type(obj).__name__}; "
+                f"valid keys: {sorted(field_types)}"
+            )
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _apply_overlay(current, value)
+        else:
+            if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+            updates[key] = value
+    return dataclasses.replace(obj, **updates)
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Optional[dict] = None
+) -> Config:
+    """Build a Config from defaults, an optional YAML file, and a dict overlay."""
+    cfg = Config()
+    if yaml_path is not None:
+        with open(yaml_path, "r") as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _apply_overlay(cfg, data)
+    if overrides:
+        cfg = _apply_overlay(cfg, overrides)
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(config_to_dict(cfg), f, sort_keys=False)

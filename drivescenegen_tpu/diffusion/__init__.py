@@ -1,0 +1,10 @@
+from drivescenegen_tpu.diffusion.schedule import (  # noqa: F401
+    DiffusionSchedule,
+    make_schedule,
+)
+from drivescenegen_tpu.diffusion.samplers import (  # noqa: F401
+    ddpm_sample,
+    ddim_sample,
+    ddpm_timesteps,
+    ddim_timesteps,
+)

@@ -1,0 +1,150 @@
+"""DDPM ancestral and DDIM samplers as lax.scan loops.
+
+Semantics match diffusers' DDPMScheduler.step (variance "fixed_small",
+clip_sample) and DDIMScheduler.step (leading timestep spacing, eta,
+set_alpha_to_one) — the samplers the reference drives via DDPMPipeline
+(reference: scripts/generation.py:14-20, pipeline/training_pipeline.py:26-31).
+
+The denoise function is traced ONCE: the scan body indexes a precomputed
+timestep array, so a 750-step DDPM chain compiles as a single loop.
+
+`denoise_fn(x, t) -> eps` where x is [B, H, W, C] and t is a scalar int32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from drivescenegen_tpu.diffusion.schedule import DiffusionSchedule
+
+
+def ddpm_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> jnp.ndarray:
+    """Descending timestep array (diffusers DDPMScheduler.set_timesteps)."""
+    T = schedule.num_train_timesteps
+    num_inference_steps = min(num_inference_steps, T)
+    step_ratio = T // num_inference_steps
+    ts = (jnp.arange(0, num_inference_steps) * step_ratio).round().astype(jnp.int32)
+    return ts[::-1]
+
+
+def ddim_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> jnp.ndarray:
+    """Descending timestep array, "leading" spacing (diffusers DDIMScheduler)."""
+    return ddpm_timesteps(schedule, num_inference_steps)
+
+
+def ddpm_step(
+    schedule: DiffusionSchedule,
+    x_t: jax.Array,
+    eps: jax.Array,
+    t: jax.Array,
+    prev_t: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """One ancestral DDPM step x_t -> x_{t-1} (DDPMScheduler.step)."""
+    acp_t = schedule.alphas_cumprod[t]
+    acp_prev = jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+    beta_prod_t = 1.0 - acp_t
+    beta_prod_prev = 1.0 - acp_prev
+    alpha_t = acp_t / acp_prev  # current (possibly strided) alpha
+    beta_t = 1.0 - alpha_t
+
+    x0 = schedule.pred_x0_from_eps(x_t, eps, t)
+
+    x0_coeff = jnp.sqrt(acp_prev) * beta_t / beta_prod_t
+    xt_coeff = jnp.sqrt(alpha_t) * beta_prod_prev / beta_prod_t
+    mean = x0_coeff * x0 + xt_coeff * x_t
+
+    # variance_type == "fixed_small"
+    variance = jnp.clip(beta_prod_prev / beta_prod_t * beta_t, 1e-20, None)
+    sigma = jnp.where(t > 0, jnp.sqrt(variance), 0.0)
+    return mean + sigma * noise
+
+
+def ddim_step(
+    schedule: DiffusionSchedule,
+    x_t: jax.Array,
+    eps: jax.Array,
+    t: jax.Array,
+    prev_t: jax.Array,
+    noise: jax.Array,
+    eta: float = 0.0,
+) -> jax.Array:
+    """One DDIM step (DDIMScheduler.step, set_alpha_to_one=True)."""
+    acp_t = schedule.alphas_cumprod[t]
+    acp_prev = jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+
+    x0 = schedule.pred_x0_from_eps(x_t, eps, t)
+    # Recompute eps from the (possibly clipped) x0, as diffusers does.
+    eps = (x_t - jnp.sqrt(acp_t) * x0) / jnp.sqrt(1.0 - acp_t)
+
+    variance = (1.0 - acp_prev) / (1.0 - acp_t) * (1.0 - acp_t / acp_prev)
+    sigma = eta * jnp.sqrt(jnp.clip(variance, 0.0, None))
+
+    dir_xt = jnp.sqrt(jnp.clip(1.0 - acp_prev - sigma**2, 0.0, None)) * eps
+    x_prev = jnp.sqrt(acp_prev) * x0 + dir_xt
+    if eta > 0:
+        x_prev = x_prev + sigma * noise
+    return x_prev
+
+
+def _sample_loop(
+    denoise_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape,
+    key: jax.Array,
+    timesteps: jnp.ndarray,
+    step_fn,
+) -> jax.Array:
+    x_T_key, loop_key = jax.random.split(key)
+    x = jax.random.normal(x_T_key, shape, dtype=jnp.float32)
+    T = schedule.num_train_timesteps
+    n = timesteps.shape[0]
+    step_ratio = T // n
+    prev_timesteps = timesteps - step_ratio
+
+    def body(x, inputs):
+        t, prev_t, i = inputs
+        eps = denoise_fn(x, t).astype(jnp.float32)
+        noise = jax.random.normal(jax.random.fold_in(loop_key, i), shape, jnp.float32)
+        x = step_fn(x, eps, t, prev_t, noise)
+        return x, ()
+
+    xs = (timesteps, prev_timesteps, jnp.arange(n, dtype=jnp.int32))
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def ddpm_sample(
+    denoise_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape,
+    key: jax.Array,
+    num_inference_steps: int = 750,
+) -> jax.Array:
+    """Ancestral DDPM sampling from pure noise. Returns x0 in [-1, 1]."""
+    ts = ddpm_timesteps(schedule, num_inference_steps)
+
+    def step_fn(x, eps, t, prev_t, noise):
+        return ddpm_step(schedule, x, eps, t, prev_t, noise)
+
+    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn)
+
+
+def ddim_sample(
+    denoise_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape,
+    key: jax.Array,
+    num_inference_steps: int = 50,
+    eta: float = 0.0,
+) -> jax.Array:
+    """DDIM sampling — the fast path (50 steps vs the reference's 750)."""
+    ts = ddim_timesteps(schedule, num_inference_steps)
+
+    def step_fn(x, eps, t, prev_t, noise):
+        return ddim_step(schedule, x, eps, t, prev_t, noise, eta=eta)
+
+    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn)

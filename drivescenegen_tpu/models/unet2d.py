@@ -1,0 +1,224 @@
+"""UNet2D denoiser in flax.linen, NHWC, bf16 activations / fp32 params.
+
+Architecture mirrors the semantics of the reference's diffusers UNet2DModel
+(reference: scripts/train.py:39-57): conv_in -> 4 DownBlock2D (2 ResNet
+layers each, stride-2 conv downsample between blocks) -> mid block
+(ResNet, self-attention, ResNet) -> 4 UpBlock2D (3 ResNet layers each with
+skip concatenation, nearest-neighbor upsample between blocks) ->
+GroupNorm/SiLU/conv_out. GroupNorm(32)+SiLU throughout; time embedding is
+sinusoidal followed by a 2-layer MLP injected into every ResNet block.
+
+TPU-first deviations from the reference (documented, not accidental):
+- NHWC layout (XLA's native conv layout on TPU).
+- attention_head_dim defaults to 64 (not diffusers' 8): 8-dim heads waste
+  the 128-lane MXU; head count = channels // head_dim either way.
+- Optional `cond` input channel-concatenated for map-conditioned agent
+  inpainting with classifier-free guidance (BASELINE.json config-5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from drivescenegen_tpu.config import ModelConfig
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: float = 10000.0
+) -> jax.Array:
+    """Sinusoidal embeddings (diffusers get_timestep_embedding,
+    flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    timesteps = jnp.atleast_1d(timesteps).astype(jnp.float32)
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    freqs = jnp.exp(exponent)
+    args = timesteps[:, None] * freqs[None, :]
+    # flip_sin_to_cos=True -> [cos, sin]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimeMLP(nn.Module):
+    """2-layer SiLU MLP over the sinusoidal embedding (diffusers
+    TimestepEmbedding). Named dense1/dense2 for the tensor-parallel rules in
+    parallel/mesh.py."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="dense1")(t_emb)
+        h = nn.silu(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="dense2")(h)
+        return h
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm -> SiLU -> conv -> (+time) -> GroupNorm -> SiLU -> conv,
+    with a 1x1 shortcut when channel counts change (diffusers ResnetBlock2D)."""
+
+    out_channels: int
+    groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over HxW tokens (diffusers Attention in
+    UNetMidBlock2D). Fused qkv projection; residual add."""
+
+    head_dim: int = 64
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        num_heads = max(1, C // self.head_dim)
+        head_dim = C // num_heads
+
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, H * W, num_heads, head_dim)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(B, H * W, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj_out")(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (diffusers Downsample2D with use_conv=True)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor x2 then 3x3 conv (diffusers Upsample2D)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+        return nn.Conv(self.channels, (3, 3), dtype=self.dtype, name="conv")(x)
+
+
+class UNet2D(nn.Module):
+    """The flagship denoiser. __call__(x_noisy, t, cond=None) -> eps_hat.
+
+    x: [B, H, W, C_in] (NHWC), t: [B] or scalar int timesteps.
+    cond: optional [B, H, W, C_cond] conditioning, channel-concatenated
+    (zeros = unconditional branch for classifier-free guidance).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        channels = tuple(cfg.block_out_channels)
+        n_blocks = len(channels)
+        embed_dim = channels[0] * 4
+
+        t = jnp.broadcast_to(jnp.atleast_1d(t), (x.shape[0],))
+        temb = timestep_embedding(t, channels[0]).astype(dtype)
+        temb = TimeMLP(embed_dim, dtype=dtype, name="time_mlp")(temb)
+
+        x = x.astype(dtype)
+        if cfg.cond_channels > 0:
+            if cond is None:
+                cond = jnp.zeros(x.shape[:-1] + (cfg.cond_channels,), dtype)
+            x = jnp.concatenate([x, cond.astype(dtype)], axis=-1)
+
+        h = nn.Conv(channels[0], (3, 3), dtype=dtype, name="conv_in")(x)
+        skips = [h]
+
+        # Down path.
+        for i, ch in enumerate(channels):
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(
+                    ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                    dtype=dtype, name=f"down_{i}_res_{j}",
+                )(h, temb, deterministic)
+                skips.append(h)
+            if i != n_blocks - 1:
+                h = Downsample(ch, dtype=dtype, name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        # Mid block: ResNet -> attention -> ResNet.
+        h = ResnetBlock(
+            channels[-1], groups=cfg.norm_num_groups, dropout=cfg.dropout,
+            dtype=dtype, name="mid_res_0",
+        )(h, temb, deterministic)
+        h = AttentionBlock(
+            head_dim=cfg.attention_head_dim, groups=cfg.norm_num_groups,
+            dtype=dtype, name="mid_attn",
+        )(h)
+        h = ResnetBlock(
+            channels[-1], groups=cfg.norm_num_groups, dropout=cfg.dropout,
+            dtype=dtype, name="mid_res_1",
+        )(h, temb, deterministic)
+
+        # Up path (mirrored, layers_per_block+1 resnets with skip concat).
+        for i, ch in enumerate(reversed(channels)):
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(
+                    ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                    dtype=dtype, name=f"up_{i}_res_{j}",
+                )(h, temb, deterministic)
+            if i != n_blocks - 1:
+                h = Upsample(ch, dtype=dtype, name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, dtype=dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), dtype=dtype, name="conv_out")(h)
+        return h.astype(jnp.float32)

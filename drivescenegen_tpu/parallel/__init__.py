@@ -1,0 +1,8 @@
+from drivescenegen_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_batch,
+    DEFAULT_TP_RULES,
+)

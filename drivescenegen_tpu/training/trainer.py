@@ -1,0 +1,102 @@
+"""Training step for the DDPM UNet (reference: pipeline/training_pipeline.py:46-97).
+
+Per step (matching the reference semantics exactly):
+  noise ~ N(0, I); t ~ U[0, num_train_timesteps); x_t = add_noise(x0, noise, t);
+  loss = MSE(model(x_t, t), noise); grad-clip global-norm 1.0; AdamW with
+  cosine-warmup LR decaying to 0 over the full run (diffusers
+  get_cosine_schedule_with_warmup, scripts/train.py:67-71).
+
+TPU-native: the step is a pure jitted function; the global batch is sharded
+over the mesh "data" axis and XLA turns the gradient reduction into a psum
+over ICI. Loss math in fp32, model activations bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from drivescenegen_tpu.config import DiffusionConfig, ModelConfig, TrainConfig
+from drivescenegen_tpu.diffusion.schedule import DiffusionSchedule
+from drivescenegen_tpu.models.unet2d import UNet2D
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def create_optimizer(
+    cfg: TrainConfig, total_steps: int
+) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    lr = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.lr_warmup_steps,
+        decay_steps=max(total_steps, cfg.lr_warmup_steps + 1),
+        end_value=0.0,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(
+            learning_rate=lr,
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return tx, lr
+
+
+def init_train_state(
+    model: UNet2D,
+    tx: optax.GradientTransformation,
+    key: jax.Array,
+    sample_shape: Tuple[int, ...],
+) -> TrainState:
+    x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    params = model.init(key, x, t)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    model: UNet2D,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    lr_schedule: Optional[optax.Schedule] = None,
+) -> Callable:
+    """Returns step(state, batch, key) -> (state, metrics). Jit outside."""
+
+    def train_step(state: TrainState, batch: jax.Array, key: jax.Array):
+        step_key = jax.random.fold_in(key, state.step)
+        noise_key, t_key = jax.random.split(step_key)
+        B = batch.shape[0]
+        noise = jax.random.normal(noise_key, batch.shape, jnp.float32)
+        t = jax.random.randint(t_key, (B,), 0, schedule.num_train_timesteps)
+        noisy = schedule.add_noise(batch, noise, t)
+
+        def loss_fn(params):
+            eps_hat = model.apply(params, noisy, t)
+            return jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,76 @@
+"""Logging + lightweight metric writers.
+
+Replaces the reference's per-module get_logger (utils/io.py:11-25) and the
+accelerate/tensorboard logging (pipeline/training_pipeline.py:51-53,94-96)
+with stdlib logging plus a JSONL/TensorBoard metric writer.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+
+def get_logger(name: str, level: int = logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.propagate = False
+    logger.setLevel(level)
+    return logger
+
+
+class MetricWriter:
+    """Writes scalar metrics to a JSONL file and (optionally) TensorBoard."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def write(self, step: int, metrics: dict) -> None:
+        record = {"step": int(step), "time": time.time()}
+        record.update({k: float(v) for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for key, value in metrics.items():
+                self._tb.add_scalar(key, float(value), int(step))
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class StageTimer:
+    """Per-stage wall-clock timers (the reference has only tqdm bars)."""
+
+    def __init__(self):
+        self.totals: dict = {}
+        self._starts: dict = {}
+
+    def start(self, name: str) -> None:
+        self._starts[name] = time.perf_counter()
+
+    def stop(self, name: str) -> float:
+        dt = time.perf_counter() - self._starts.pop(name)
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        return dt
+
+    def summary(self) -> str:
+        return ", ".join(f"{k}: {v:.2f}s" for k, v in sorted(self.totals.items()))
