@@ -1,0 +1,118 @@
+"""Training dataset: rasterized scene images -> device-ready batches.
+
+Replaces the reference's torch Image_Dataset + DataLoader
+(utils/datasets/dataset.py:15-50): glob image files, normalize to [-1, 1]
+((x - 0.5) / 0.5, matching transforms.Normalize([0.5],[0.5])), shuffle each
+epoch, and prefetch batches on a background thread so host IO overlaps
+device compute.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def load_image(path: str, img_res: int = 256) -> np.ndarray:
+    """Load one sample as float32 (H, W, 3) in [0, 1]."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".npy",):
+        arr = np.load(path)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
+    else:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        if img.size != (img_res, img_res):
+            # The reference trains on 512 PNGs resized to 256 with
+            # antialias=False (dataset.py:21-24); nearest keeps hard dots.
+            img = img.resize((img_res, img_res), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+class RasterDataset:
+    """Glob-based image dataset, normalized to [-1, 1]."""
+
+    def __init__(self, pattern: str, img_res: int = 256):
+        self.files: Sequence[str] = sorted(glob.glob(pattern))
+        if not self.files:
+            raise FileNotFoundError(f"no files match {pattern!r}")
+        self.img_res = img_res
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        x = load_image(self.files[idx], self.img_res)
+        return (x - 0.5) / 0.5
+
+
+def batch_iterator(
+    dataset: RasterDataset,
+    batch_size: int,
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    drop_remainder: bool = True,
+    prefetch: int = 4,
+    num_threads: int = 8,
+) -> Iterator[np.ndarray]:
+    """Shuffled, threaded, prefetching batch iterator of [B, H, W, 3]."""
+
+    def index_stream():
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            order = rng.permutation(len(dataset))
+            end = len(order) - (len(order) % batch_size if drop_remainder else 0)
+            for i in range(0, end, batch_size):
+                yield order[i : i + batch_size]
+            epoch += 1
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def load_batch(idxs):
+        if num_threads > 1 and len(idxs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_threads) as ex:
+                samples = list(ex.map(dataset.__getitem__, idxs))
+        else:
+            samples = [dataset[i] for i in idxs]
+        return np.stack(samples).astype(np.float32)
+
+    def worker():
+        try:
+            for idxs in index_stream():
+                if stop.is_set():
+                    return
+                q.put(load_batch(idxs))
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()
+        # Drain so the worker's blocked put() releases.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,300 @@
+"""Analytic BEV rasterizer in JAX — replaces the reference's
+matplotlib-figure-screenshot pipeline (reference: utils/datasets/
+rasterization.py:57-165, visualization.py:172-330) with a vmappable pure
+function: (padded polylines, agent tracks) -> (H, W, 3) float32 in [0, 1].
+
+Encoding (identical information content to the reference):
+- R, G channels: lane centerlines (Waymo lane type 2, surface streets only —
+  the `1 < type < 3` filter at rasterization.py:66), colored by the
+  MinMax-normalized per-point direction (dx, dy) -> [0, 0.99]; gray 0.5
+  background.
+- B channel: one rotated rectangle per valid vehicle at the agent frame,
+  filled with speed encoding |pos[t+1]-pos[t]|/60 + 0.5 (visualization.py:
+  214-248), drawn only when the box touches a lane line (the shapely
+  MultiLineString.intersects gate at visualization.py:255-284, replaced by
+  a vectorized point-in-rotated-rect test); black background.
+
+Geometry: pixel (row, col) <-> world (x, y) with x right, y up:
+  col = (x + half) / (2*half) * W,  row = (half - y) / (2*half) * H
+matching the vectorizer's world transform (vectorization/utils/
+graph_utils.py:197-210).
+
+Frames (reference quirks preserved, flags to fix them):
+- lanes are ego-translated at t=10 (rasterization.py:37);
+- agents are ego-translated and drawn at t=1 (visualization.py:192-209) —
+  the reference mixes these frames; `agent_time_index` defaults to 1 for
+  parity and can be set to 10 for a consistent frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Lane channels
+# ---------------------------------------------------------------------------
+
+def _splat_bilinear(acc_color, acc_w, xy_px, colors, weights, H, W):
+    """Accumulate bilinear splats of (colors, weights) at subpixel coords."""
+    x = xy_px[:, 0] - 0.5
+    y = xy_px[:, 1] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    for dx, dy, w in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = x0 + dx
+        yi = y0 + dy
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.where(inb, yi * W + xi, 0)
+        wt = w * weights * inb
+        acc_color = acc_color.at[idx].add(wt[:, None] * colors, mode="drop")
+        acc_w = acc_w.at[idx].add(wt, mode="drop")
+    return acc_color, acc_w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "interp_k", "lane_type_lo", "lane_type_hi")
+)
+def rasterize_lane_channels(
+    lane_feats: jax.Array,  # [P, L, 9] [x,y,z,dx,dy,dz,type,theta,valid]
+    lane_masks: jax.Array,  # [P, L] bool
+    half_range: float,
+    H: int = 256,
+    W: int = 256,
+    background: float = 0.5,
+    interp_k: int = 8,
+    lane_type_lo: float = 1.0,
+    lane_type_hi: float = 3.0,
+) -> jax.Array:
+    """Lane R/G channels, (H, W, 2). Inputs pre-translated & dxdy-normalized."""
+    types = lane_feats[..., 6]
+    draw = lane_masks & (types > lane_type_lo) & (types < lane_type_hi)
+
+    px_per_m = W / (2.0 * half_range)
+
+    def to_px(xy):
+        u = (xy[..., 0] + half_range) * px_per_m
+        v = (half_range - xy[..., 1]) * (H / (2.0 * half_range))
+        return jnp.stack([u, v], axis=-1)
+
+    # Segment samples: interpolate between consecutive valid points.
+    p0 = lane_feats[:, :-1]
+    p1 = lane_feats[:, 1:]
+    seg_valid = (draw[:, :-1] & draw[:, 1:]).astype(jnp.float32)
+
+    ts = (jnp.arange(interp_k, dtype=jnp.float32) + 0.5) / interp_k  # (K,)
+    # pos/color interp: [P, L-1, K, 2]
+    xy0 = p0[..., 0:2][:, :, None, :]
+    xy1 = p1[..., 0:2][:, :, None, :]
+    seg_xy = xy0 + (xy1 - xy0) * ts[None, None, :, None]
+    c0 = p0[..., 3:5][:, :, None, :]
+    c1 = p1[..., 3:5][:, :, None, :]
+    seg_c = c0 + (c1 - c0) * ts[None, None, :, None]
+    seg_w = jnp.broadcast_to(seg_valid[:, :, None], seg_xy.shape[:-1])
+
+    # Raw point samples cover chunk endpoints and isolated points.
+    pt_xy = lane_feats[..., 0:2]
+    pt_c = lane_feats[..., 3:5]
+    pt_w = draw.astype(jnp.float32)
+
+    all_xy = jnp.concatenate([seg_xy.reshape(-1, 2), pt_xy.reshape(-1, 2)])
+    all_c = jnp.concatenate([seg_c.reshape(-1, 2), pt_c.reshape(-1, 2)])
+    all_w = jnp.concatenate([seg_w.reshape(-1), pt_w.reshape(-1)])
+
+    acc_color = jnp.zeros((H * W, 2), jnp.float32)
+    acc_w = jnp.zeros((H * W,), jnp.float32)
+    acc_color, acc_w = _splat_bilinear(
+        acc_color, acc_w, to_px(all_xy), all_c, all_w, H, W
+    )
+
+    alpha = jnp.clip(acc_w, 0.0, 1.0)[:, None]
+    mean_c = acc_color / jnp.maximum(acc_w, 1e-8)[:, None]
+    out = background * (1.0 - alpha) + mean_c * alpha
+    return out.reshape(H, W, 2)
+
+
+# ---------------------------------------------------------------------------
+# Agent channel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def rasterize_agent_channel(
+    boxes: jax.Array,  # [A, 7] [cx, cy, length, width, heading, blue, valid]
+    gate_points: jax.Array,  # [G, 2] lane-line points for the intersects gate
+    gate_valid: jax.Array,  # [G]
+    half_range: float,
+    H: int = 256,
+    W: int = 256,
+) -> jax.Array:
+    """Agent B channel, (H, W). Rectangles shaded by speed, gated on lanes."""
+    cx, cy = boxes[:, 0], boxes[:, 1]
+    hl, hw = boxes[:, 2] / 2.0, boxes[:, 3] / 2.0
+    cos_h, sin_h = jnp.cos(boxes[:, 4]), jnp.sin(boxes[:, 4])
+    blue = boxes[:, 5]
+    valid = boxes[:, 6] > 0
+
+    # Gate: any valid lane point inside the rotated rectangle (vectorized
+    # stand-in for shapely MultiLineString.intersects, visualization.py:284).
+    gx = gate_points[None, :, 0] - cx[:, None]
+    gy = gate_points[None, :, 1] - cy[:, None]
+    u = gx * cos_h[:, None] + gy * sin_h[:, None]
+    v = -gx * sin_h[:, None] + gy * cos_h[:, None]
+    inside = (
+        (jnp.abs(u) <= hl[:, None])
+        & (jnp.abs(v) <= hw[:, None])
+        & (gate_valid[None, :] > 0)
+    )
+    gated = inside.any(axis=1)
+
+    # Pixel-center world coordinates.
+    jj = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (2 * half_range / W) - half_range
+    ii = half_range - (jnp.arange(H, dtype=jnp.float32) + 0.5) * (2 * half_range / H)
+    Xw = jnp.broadcast_to(jj[None, :], (H, W))
+    Yw = jnp.broadcast_to(ii[:, None], (H, W))
+
+    def one_agent(c_x, c_y, h_l, h_w, ch, sh, val, ok, b):
+        dx = Xw - c_x
+        dy = Yw - c_y
+        uu = dx * ch + dy * sh
+        vv = -dx * sh + dy * ch
+        cover = (jnp.abs(uu) <= h_l) & (jnp.abs(vv) <= h_w) & val & ok
+        return jnp.where(cover, b, 0.0)
+
+    layers = jax.vmap(one_agent)(cx, cy, hl, hw, cos_h, sin_h, valid, gated, blue)
+    return layers.max(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation + full scenario rasterization
+# ---------------------------------------------------------------------------
+
+def agent_boxes_from_tracks(
+    trajs: np.ndarray,  # [A, T, 11] [cx,cy,cz,l,w,h,heading,vx,vy,valid,type]
+    max_agents: int,
+    agent_time_index: int = 1,
+) -> np.ndarray:
+    """[A, T, 11] tracks -> fixed [max_agents, 7] box array, ego@t frame.
+
+    Matches plot_dynamic_objects_v2: vehicles only (type==1), valid at t,
+    blue = |pos[t+1] - pos[t]| / 60 + 0.5 (visualization.py:214-248).
+    """
+    t = agent_time_index
+    A, T, _ = trajs.shape
+    out = np.zeros((max_agents, 7), np.float32)
+    if A == 0 or T <= t + 1:
+        return out
+    is_vehicle = trajs[:, t, 10] == 1
+    valid_t = trajs[:, t, 9] > 0
+    speed_px = np.linalg.norm(trajs[:, t + 1, 0:2] - trajs[:, t, 0:2], axis=-1)
+    blue = speed_px / 60.0 + 0.5
+    keep = np.nonzero(is_vehicle & valid_t)[0][:max_agents]
+    out[: len(keep), 0] = trajs[keep, t, 0]
+    out[: len(keep), 1] = trajs[keep, t, 1]
+    out[: len(keep), 2] = trajs[keep, t, 3]
+    out[: len(keep), 3] = trajs[keep, t, 4]
+    out[: len(keep), 4] = trajs[keep, t, 6]
+    out[: len(keep), 5] = blue[keep]
+    out[: len(keep), 6] = 1.0
+    return out
+
+
+def rasterize_scenario(
+    scenario_info: dict,
+    img_res: int = 256,
+    map_range: float = 80.0,
+    max_polylines: int = 512,
+    max_agents: int = 128,
+    with_agent: bool = True,
+    background: float = 0.5,
+    color_max: float = 0.99,
+    agent_time_index: int = 1,
+    interp_k: int = 8,
+) -> np.ndarray:
+    """Scenario dict (reference pickle format) -> (H, W, 3) raster in [0,1].
+
+    Mirrors rasterize_static_map(+plot_dynamic_objects_v2) end to end:
+    lane chunking/ego-translate/dxdy-normalize, lane splat, agent channel.
+    `map_range` is the TOTAL extent; half-range = map_range / 2
+    (scripts/data_rasterization.py:16).
+    """
+    from drivescenegen_tpu.ops import map_processing as mp
+
+    half_range = map_range / 2.0
+    H = W = img_res
+
+    lanes = scenario_info["lane"]
+    all_points = (
+        np.vstack([np.asarray(v)[:, :7] for v in lanes.values()])
+        if len(lanes)
+        else np.zeros((0, 7), np.float32)
+    )
+    # Column 7 (theta) is unused by the raster; chunking wants 8 cols.
+    if all_points.shape[1] == 7:
+        all_points = np.concatenate(
+            [all_points, np.zeros((len(all_points), 1), np.float32)], axis=1
+        )
+
+    trajs = np.asarray(scenario_info["tracks_info"]["trajs"], np.float32)
+    sdc = int(scenario_info["sdc_track_index"])
+    ego10 = trajs[sdc, 10, 0:2]
+
+    feats, masks = mp.generate_batch_polylines_from_map(
+        all_points, num_points_each_polyline=100
+    )
+    if feats.shape[0]:
+        feats = mp.transform_scenario(feats, ego10)
+        feats = mp.dxdy_normalization(feats, feature_max=color_max)
+    feats, masks = mp.pad_polylines(feats, masks, max_polylines)
+
+    rg = rasterize_lane_channels(
+        jnp.asarray(feats),
+        jnp.asarray(masks),
+        half_range,
+        H=H,
+        W=W,
+        background=background,
+        interp_k=interp_k,
+    )
+
+    if not with_agent:
+        b = jnp.full((H, W, 1), background, jnp.float32)
+        return np.asarray(jnp.concatenate([rg, b], axis=-1))
+
+    # Agent channel: ego frame at agent_time_index (reference uses t=1).
+    ego_t = trajs[sdc, agent_time_index, 0:2]
+    trajs_shifted = trajs.copy()
+    trajs_shifted[:, :, 0:2] -= ego_t[None, None, :]
+    boxes = agent_boxes_from_tracks(trajs_shifted, max_agents, agent_time_index)
+
+    # Gate lines: the reference uses only full-100-point lane chunks
+    # (rasterization.py:102-110) in the LANE frame (ego@10).
+    full_chunks = masks.sum(axis=1) == masks.shape[1]
+    types_ok = (feats[:, 0, 6] > 1.0) & (feats[:, 0, 6] < 3.0)
+    use = full_chunks & types_ok
+    gate_xy = feats[..., 0:2].reshape(-1, 2)
+    gate_valid = (use[:, None] & masks).reshape(-1).astype(np.float32)
+
+    b = rasterize_agent_channel(
+        jnp.asarray(boxes),
+        jnp.asarray(gate_xy),
+        jnp.asarray(gate_valid),
+        half_range,
+        H=H,
+        W=W,
+    )
+    return np.asarray(jnp.concatenate([rg, b[..., None]], axis=-1))

@@ -1,0 +1,96 @@
+"""Stage 0b: scenario pickles -> BEV raster PNGs.
+
+CLI parity with the reference (scripts/data_rasterization.py:55-90), but the
+rasterizer is the analytic JAX splatter (ops/raster.py) rendering directly at
+the training resolution — no matplotlib, no 512->256 resize.
+
+  python -m drivescenegen_tpu.scripts.data_rasterization \
+      --load_path ./data/preprocessed --save_path ./data/rasterized
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import multiprocessing
+import os
+import pickle
+import time
+
+import numpy as np
+
+from drivescenegen_tpu.config import load_config
+from drivescenegen_tpu.utils.io import split_round_robin
+
+
+def _worker(files, cfg_raster, out_dir, proc_id):
+    # Keep worker processes off the TPU: the splat kernels are tiny and the
+    # per-process TPU runtime would serialize on the single chip.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from PIL import Image
+
+    from drivescenegen_tpu.ops.raster import rasterize_scenario
+
+    for i, path in enumerate(files):
+        try:
+            with open(path, "rb") as f:
+                scenario_info = pickle.load(f)
+            if not isinstance(scenario_info, dict):
+                continue
+            img = rasterize_scenario(
+                scenario_info,
+                img_res=cfg_raster.img_res,
+                map_range=cfg_raster.map_range,
+                max_polylines=cfg_raster.max_polylines,
+                max_agents=cfg_raster.max_agents,
+                with_agent=cfg_raster.with_agent,
+                background=cfg_raster.background,
+                color_max=cfg_raster.color_max,
+            )
+            arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(out_dir, f"{proc_id}_{i}.png"))
+        except Exception as e:  # skip-and-log, like the reference's workers
+            print(f"[worker {proc_id}] {path}: {type(e).__name__}: {e}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Data Processing 2")
+    parser.add_argument("--load_path", default="./data/preprocessed", type=str)
+    parser.add_argument("--save_path", default="./data/rasterized/", type=str)
+    parser.add_argument("--cfg_file", default=None, type=str)
+    parser.add_argument("--n_workers", default=8, type=int)
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg_file)
+    raster = cfg.raster
+    out_dir = os.path.join(
+        args.save_path, f"GT_70k_s{int(raster.map_range)}_dxdy_agents_img"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    all_files = sorted(glob.glob(os.path.join(args.load_path, "sample_*.pkl")))
+    if not all_files:
+        raise SystemExit(f"no scenario pickles under {args.load_path}")
+
+    t0 = time.perf_counter()
+    n_workers = max(1, min(args.n_workers, len(all_files)))
+    if n_workers == 1:
+        _worker(all_files, raster, out_dir, 0)
+    else:
+        shards = split_round_robin(all_files, n_workers)
+        procs = []
+        for pid, shard in enumerate(shards):
+            p = multiprocessing.Process(target=_worker, args=(shard, raster, out_dir, pid))
+            p.start()
+            procs.append(p)
+        for p in procs:
+            p.join()
+    dt = time.perf_counter() - t0
+    n = len(glob.glob(os.path.join(out_dir, "*.png")))
+    print(f"Rasterized {n} scenarios in {dt:.1f}s -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
