@@ -1,0 +1,121 @@
+"""Stage 1b: sample new scene rasters from the trained model
+(reference: scripts/generation.py — batch 5 x 20 loops of 750-step DDPM).
+
+TPU-native: the sampling batch is sharded over the mesh "data" axis
+(batch-parallel generation over ICI); the sampler is a single lax.scan.
+Supports DDPM-750 (reference parity) and DDIM-50 (fast path).
+
+  python -m drivescenegen_tpu.scripts.generation --model_dir <dir> \
+      --sampler ddim --steps 50 --batch_size 40 --num_batches 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drivescenegen_tpu.config import load_config
+from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+from drivescenegen_tpu.models import UNet2D
+from drivescenegen_tpu.parallel import make_mesh
+from drivescenegen_tpu.training.checkpoint import restore_params_only
+from drivescenegen_tpu.utils.logging import get_logger
+
+logger = get_logger("generation")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Scene generation")
+    parser.add_argument("--cfg_file", default=None, type=str)
+    parser.add_argument("--model_dir", default=None, type=str)
+    parser.add_argument("--output_dir", default=None, type=str)
+    parser.add_argument("--sampler", default=None, choices=[None, "ddpm", "ddim"])
+    parser.add_argument("--steps", default=0, type=int)
+    parser.add_argument("--batch_size", default=0, type=int)
+    parser.add_argument("--num_batches", default=0, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.cfg_file)
+    gcfg = cfg.generation
+    model_dir = args.model_dir or gcfg.model_dir
+    output_dir = args.output_dir or gcfg.output_dir
+    sampler = args.sampler or gcfg.sampler
+    steps = args.steps or (
+        gcfg.ddim_steps if sampler == "ddim" else gcfg.num_inference_steps
+    )
+    batch_size = args.batch_size or gcfg.batch_size
+    num_batches = args.num_batches or gcfg.num_batches
+    os.makedirs(output_dir, exist_ok=True)
+
+    # Load the trained model config if it was saved alongside the weights.
+    model_cfg_path = os.path.join(model_dir, "config.yaml")
+    if os.path.exists(model_cfg_path):
+        cfg = load_config(model_cfg_path)
+    model = UNet2D(cfg.model)
+    schedule = make_schedule(cfg.diffusion)
+
+    res = cfg.model.sample_size
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, res, res, cfg.model.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+        )
+    )
+    params = restore_params_only(model_dir, template)
+
+    mesh = make_mesh(cfg.mesh)
+    n_data = mesh.shape["data"]
+    if batch_size % n_data != 0:
+        batch_size = max(n_data, (batch_size // n_data) * n_data)
+        logger.info(f"rounded batch to {batch_size} (data axis {n_data})")
+
+    def denoise(x, t):
+        return model.apply(params, x, t)
+
+    shape = (batch_size, res, res, cfg.model.out_channels)
+    fn = ddim_sample if sampler == "ddim" else ddpm_sample
+
+    # Batch-parallel sampling: constrain the output to be sharded over the
+    # "data" axis; XLA propagates the sharding back through the whole scan,
+    # so each chip denoises its slice of the batch independently over ICI.
+    from drivescenegen_tpu.parallel import batch_sharding
+
+    run = jax.jit(
+        lambda key: fn(denoise, schedule, shape, key, steps),
+        out_shardings=batch_sharding(mesh, 4),
+    )
+
+    from PIL import Image
+
+    total = 0
+    t0 = time.perf_counter()
+    for num in range(num_batches):
+        key = jax.random.fold_in(jax.random.key(args.seed), num)
+        # Shard the initial noise batch over "data": batch-parallel sampling.
+        imgs = run(key)
+        imgs.block_until_ready()
+        arr = np.asarray(imgs)
+        arr01 = np.clip(arr / 2 + 0.5, 0.0, 1.0)
+        for i in range(arr01.shape[0]):
+            Image.fromarray((arr01[i] * 255).astype(np.uint8)).save(
+                os.path.join(output_dir, f"loop_{num:03d}_batch_{i:03d}.png")
+            )
+        total += arr01.shape[0]
+        if num == 0:
+            dt0 = time.perf_counter() - t0
+            logger.info(f"first batch ({batch_size}) in {dt0:.1f}s incl. compile")
+    dt = time.perf_counter() - t0
+    logger.info(
+        f"generated {total} scenes with {sampler}-{steps} in {dt:.1f}s "
+        f"({total/dt:.2f} scenes/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()

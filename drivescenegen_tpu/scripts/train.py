@@ -1,0 +1,167 @@
+"""Stage 1a: DDPM UNet training (reference: scripts/train.py +
+pipeline/training_pipeline.py:46-107).
+
+Data-parallel over the ICI mesh: the global batch is sharded on the "data"
+axis, params replicated (TP rules applied when mesh.model > 1); XLA inserts
+the gradient psum. Mixed precision bf16; AdamW + cosine warmup; per-epoch
+sample image + orbax checkpoint (full state: params/opt_state/step — the
+reference only saved weights and could not resume optimization).
+
+  python -m drivescenegen_tpu.scripts.train --cfg_file cfg.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drivescenegen_tpu.config import load_config, save_config
+from drivescenegen_tpu.data.dataset import RasterDataset, batch_iterator
+from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+from drivescenegen_tpu.models import UNet2D
+from drivescenegen_tpu.parallel import make_mesh, param_shardings, shard_batch
+from drivescenegen_tpu.training import (
+    create_optimizer,
+    init_train_state,
+    make_train_step,
+)
+from drivescenegen_tpu.training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params_only,
+)
+from drivescenegen_tpu.utils import prng
+from drivescenegen_tpu.utils.logging import MetricWriter, get_logger
+
+logger = get_logger("train")
+
+
+def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
+                      sampler: str = "ddpm", steps: int = 750) -> str:
+    """Per-epoch eval sample (reference: training_pipeline.py:16-43)."""
+    from PIL import Image
+
+    def denoise(x, t):
+        return model.apply(params, x, t)
+
+    shape = (1, cfg.model.sample_size, cfg.model.sample_size, cfg.model.out_channels)
+    key = jax.random.key(seed)
+    fn = ddpm_sample if sampler == "ddpm" else ddim_sample
+    img = np.asarray(jax.jit(lambda k: fn(denoise, schedule, shape, k, steps))(key))
+    img01 = np.clip(img[0] / 2 + 0.5, 0, 1)
+    os.makedirs(out_dir, exist_ok=True)
+    count = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
+    path = os.path.join(out_dir, f"{count:03d}.png")
+    Image.fromarray((img01 * 255).astype(np.uint8)).save(path)
+    return path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="DDPM training")
+    parser.add_argument("--cfg_file", default=None, type=str)
+    parser.add_argument("--dataset_glob", default=None, type=str)
+    parser.add_argument("--output_dir", default=None, type=str)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_steps", default=0, type=int,
+                        help="cap total optimizer steps (0 = epochs * steps/epoch)")
+    args = parser.parse_args(argv)
+
+    overrides = {"train": {}}
+    if args.dataset_glob:
+        overrides["train"]["dataset_glob"] = args.dataset_glob
+    if args.output_dir:
+        overrides["train"]["output_dir"] = args.output_dir
+    cfg = load_config(args.cfg_file, overrides)
+
+    tcfg = cfg.train
+    os.makedirs(tcfg.output_dir, exist_ok=True)
+    save_config(cfg, os.path.join(tcfg.output_dir, "config.yaml"))
+    writer = MetricWriter(os.path.join(tcfg.output_dir, "logs"))
+
+    mesh = make_mesh(cfg.mesh)
+    n_data = mesh.shape["data"]
+    if tcfg.batch_size % n_data != 0:
+        raise SystemExit(
+            f"global batch {tcfg.batch_size} not divisible by data axis {n_data}"
+        )
+    logger.info(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}")
+
+    dataset = RasterDataset(tcfg.dataset_glob, img_res=cfg.model.sample_size)
+    steps_per_epoch = len(dataset) // tcfg.batch_size
+    total_steps = args.max_steps or steps_per_epoch * tcfg.num_epochs
+    logger.info(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
+
+    model = UNet2D(cfg.model)
+    schedule = make_schedule(cfg.diffusion)
+    tx, lr_sched = create_optimizer(tcfg, total_steps)
+
+    root = prng.root_key(tcfg.seed)
+    sample_shape = (cfg.model.sample_size, cfg.model.sample_size, cfg.model.in_channels)
+    state = init_train_state(model, tx, prng.for_purpose(root, "init"), sample_shape)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.info(f"model parameters: {n_params:,}")
+
+    ckpt_dir = os.path.join(tcfg.output_dir, "checkpoints")
+    if args.resume and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        logger.info(f"resumed from step {int(state.step)}")
+
+    # Place params/opt_state on the mesh (replicated unless TP rules apply).
+    shardings = param_shardings(state.params, mesh)
+    state = state._replace(params=jax.device_put(state.params, shardings))
+
+    step_fn = jax.jit(make_train_step(model, schedule, tx, lr_sched), donate_argnums=0)
+    data_key = prng.for_purpose(root, "train")
+
+    it = batch_iterator(
+        dataset, tcfg.batch_size, seed=tcfg.seed, num_epochs=None
+    )
+    t_start = time.perf_counter()
+    t_last = t_start
+    start_step = int(state.step)
+    for step_i in range(start_step, total_steps):
+        batch = shard_batch(mesh, jnp.asarray(next(it)))
+        state, metrics = step_fn(state, batch, data_key)
+
+        if (step_i + 1) % tcfg.log_every == 0 or step_i + 1 == total_steps:
+            now = time.perf_counter()
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = tcfg.log_every / max(now - t_last, 1e-9)
+            m["samples_per_sec"] = m["steps_per_sec"] * tcfg.batch_size
+            t_last = now
+            writer.write(step_i + 1, m)
+            logger.info(
+                f"step {step_i+1}/{total_steps} loss {m['loss']:.4f} "
+                f"lr {m['lr']:.2e} {m['samples_per_sec']:.1f} samples/s"
+            )
+
+        epoch_end = (step_i + 1) % steps_per_epoch == 0 or step_i + 1 == total_steps
+        if epoch_end:
+            epoch = (step_i + 1) // max(steps_per_epoch, 1)
+            if epoch % tcfg.save_model_epochs == 0 or step_i + 1 == total_steps:
+                save_checkpoint(
+                    ckpt_dir, state, max_to_keep=tcfg.checkpoint_max_to_keep
+                )
+                save_params_only(tcfg.output_dir, state.params, int(state.step))
+            if epoch % tcfg.save_image_epochs == 0 or step_i + 1 == total_steps:
+                path = save_sample_image(
+                    state.params, model, schedule, cfg,
+                    os.path.join(tcfg.output_dir, "samples"), tcfg.seed,
+                    sampler="ddim" if tcfg.eval_inference_steps <= 100 else "ddpm",
+                    steps=tcfg.eval_inference_steps,
+                )
+                logger.info(f"epoch {epoch}: sample -> {path}")
+
+    dt = time.perf_counter() - t_start
+    logger.info(f"trained {total_steps - start_step} steps in {dt:.1f}s")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
