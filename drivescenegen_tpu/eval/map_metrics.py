@@ -1,0 +1,231 @@
+"""HDMapGen-style map metrics (reference: vectorization/evaluation/
+map_metrics.py): per-graph urban-planning/geometry/topology statistics,
+univariate Frechet distances over fitted Gaussians, and MMD (Wasserstein
+variant) over node-degree and Laplacian-spectrum distributions.
+
+The all-pairs Dijkstra "convenience" statistic is the reference's 6-12 h
+hot spot for GT graphs (scripts/compute_map_metrics.py:46); here it uses
+scipy's C dijkstra over a sparse adjacency matrix instead of per-pair
+networkx calls — same values, orders of magnitude faster.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from typing import List, Optional, Tuple
+
+import networkx as nx
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import dijkstra as cs_dijkstra
+from scipy.stats import norm, wasserstein_distance
+
+
+def frechet_distance_univariate(mu_x, sigma_x, mu_y, sigma_y) -> float:
+    a = abs(mu_x - mu_y)
+    b = math.sqrt(sigma_x**2 + sigma_y**2)
+    if b == 0.0:  # both distributions degenerate: FD reduces to |mu diff|
+        return a
+    c = math.sqrt(2 * sigma_x * sigma_y) * math.exp(-0.5 * ((mu_x - mu_y) / b) ** 2)
+    return a + b - c
+
+
+def gaussian_kernel(X: np.ndarray, Y: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    sq = (
+        np.sum(X**2, axis=1, keepdims=True)
+        - 2 * X @ Y.T
+        + np.sum(Y**2, axis=1, keepdims=True).T
+    )
+    return np.exp(-sq / (2 * sigma**2))
+
+
+def mmd(X: np.ndarray, Y: np.ndarray, sigma: float = 1.0,
+        dist_function: Optional[str] = None) -> float:
+    K_XX = gaussian_kernel(X, X, sigma)
+    K_YY = gaussian_kernel(Y, Y, sigma)
+    mean_x = np.mean(K_XX, axis=0)
+    mean_y = np.mean(K_YY, axis=0)
+    if dist_function == "wasserstein":
+        return float(wasserstein_distance(mean_x, mean_y))
+    if dist_function == "tvd":
+        return float(0.5 * np.linalg.norm(mean_x - mean_y, ord=1))
+    K_XY = gaussian_kernel(X, Y, sigma)
+    K_YX = gaussian_kernel(Y, X, sigma)
+    return float(np.mean(K_XX) + np.mean(K_YY) - np.mean(K_XY) - np.mean(K_YX))
+
+
+def transform_to_world_frame(graph: nx.Graph, map_range: float = 80.0,
+                             map_res: int = 256) -> nx.Graph:
+    """Pixel graph -> world metres (map_metrics.py:49-71, including its
+    quirk of keeping the PIXEL node id on one endpoint of each edge)."""
+    scale = map_range / map_res
+    center = (map_res / 2 * scale, map_res / 2 * scale)
+
+    new_edges = []
+    new_nodes = []
+    for n1, n2 in list(graph.edges()):
+        d = graph[n1][n2]["d"] if "d" in graph[n1][n2] else graph[n1][n2].get("dist", 0.0)
+        new_dist = d * scale
+        new_n1 = (n1[0] * scale - center[0], center[1] - n1[1] * scale)
+        new_n2 = (n2[0] * scale - center[0], center[1] - n2[1] * scale)
+        new_n1_yaw = -graph.nodes[n1].get("yaw", 0.0)
+        new_n2_yaw = -graph.nodes[n2].get("yaw", 0.0)
+        new_edges.append((new_n2, n2, {"dist": new_dist}))
+        new_nodes.append((new_n1, {"yaw": new_n1_yaw}))
+        new_nodes.append((new_n2, {"yaw": new_n2_yaw}))
+
+    new_graph = nx.Graph()
+    new_graph.add_edges_from(new_edges)
+    new_graph.add_nodes_from(new_nodes)
+    return new_graph
+
+
+def _pairwise_distances(graph: nx.Graph) -> List[float]:
+    """All-pairs shortest-path distances over 'dist' weights — vectorized
+    scipy dijkstra (numerically identical to per-pair networkx)."""
+    nodes = list(graph.nodes())
+    n = len(nodes)
+    if n < 2:
+        return [0.0]
+    index = {node: i for i, node in enumerate(nodes)}
+    rows, cols, vals = [], [], []
+    for n1, n2, data in graph.edges(data=True):
+        w = data.get("dist", data.get("d", 1.0))
+        rows.append(index[n1]); cols.append(index[n2]); vals.append(w)
+    adj = csr_matrix((vals, (rows, cols)), shape=(n, n))
+    dmat = cs_dijkstra(adj, directed=False)
+    iu = np.triu_indices(n, k=1)
+    vals = dmat[iu]
+    return vals[np.isfinite(vals)].tolist()
+
+
+def compute_stats(graph: nx.Graph, map_range: Optional[float] = 80.0,
+                  map_res: Optional[int] = 256) -> Tuple[np.ndarray, ...]:
+    """(urban_plan[4], geo[2], topo[2]) per graph (map_metrics.py:74-124)."""
+    if None not in (map_range, map_res):
+        graph = transform_to_world_frame(graph, map_range=map_range, map_res=map_res)
+
+    degrees = [deg for (_, deg) in graph.degree()]
+    n_nodes = graph.number_of_nodes()
+    n_edges = graph.number_of_edges()
+
+    distances = _pairwise_distances(graph) if n_nodes >= 2 else [0.0]
+    if not distances:
+        distances = [0.0]
+
+    connectivity = float(np.mean(degrees)) if degrees else 0.0
+    density = n_nodes
+    reach = n_edges
+    convenience = float(np.mean(distances))
+
+    lengths = list(nx.get_edge_attributes(graph, "dist").values())
+    orientations = list(nx.get_node_attributes(graph, "yaw").values())
+    length = float(np.mean(lengths)) if lengths else 0.0
+    orientation = float(np.mean(orientations)) if orientations else 0.0
+
+    degree = connectivity
+    spectrum = float(np.sum(nx.laplacian_spectrum(graph, weight="dist"))) if n_nodes else 0.0
+
+    urban_plan = np.array([connectivity, density, reach, convenience])
+    geo = np.array([length, orientation])
+    topo = np.array([degree, spectrum])
+    return urban_plan, geo, topo
+
+
+STATS_NAMES = ["Connectivity", "Density", "Reach", "Convenience", "Length", "Orientation"]
+
+
+def compute_map_stats(files: list, save_path: str, map_range: Optional[float] = None,
+                      map_res: Optional[int] = None, verbose: bool = True):
+    """Aggregate per-graph stats into fitted Gaussians + degree/spectrum
+    arrays, saved as stats.npy / degrees.npy / spectrum.npy
+    (map_metrics.py:127-172)."""
+    urban_plans, geos, topos = [], [], []
+    for file in files:
+        with open(file, "rb") as f:
+            graph = pickle.load(f)
+        urban_plan, geo, topo = compute_stats(graph, map_range=map_range, map_res=map_res)
+        urban_plans.append(urban_plan)
+        geos.append(geo)
+        topos.append(topo)
+
+    upg = np.hstack((np.vstack(urban_plans), np.vstack(geos)))
+    topos_np = np.vstack(topos)
+
+    stats = []
+    for i, data in enumerate(upg.T):
+        mu, std = norm.fit(data)
+        stats.append((mu, std))
+        if verbose:
+            print(f"{STATS_NAMES[i]}: mu = {mu}, std = {std}")
+    stats_np = np.array(stats)
+
+    degrees = topos_np[:, 0].ravel()
+    spectrum = topos_np[:, 1].ravel()
+
+    os.makedirs(save_path, exist_ok=True)
+    np.save(os.path.join(save_path, "stats.npy"), stats_np)
+    np.save(os.path.join(save_path, "degrees.npy"), degrees)
+    np.save(os.path.join(save_path, "spectrum.npy"), spectrum)
+    return stats_np, degrees, spectrum
+
+
+def compute_map_metrics(gt_stats, gt_degrees, gt_spectrum,
+                        gen_stats, gen_degrees, gen_spectrum, verbose: bool = True):
+    """Frechet per stat + MMD-Wasserstein over degrees & spectrum
+    (map_metrics.py:175-198). Returns (fds[6], mmd_degrees, mmd_spectrum)."""
+    fds = [
+        frechet_distance_univariate(gt[0], gt[1], gen[0], gen[1])
+        for gt, gen in zip(gt_stats, gen_stats)
+    ]
+    fds_np = np.array(fds)
+    mmd_degrees = mmd(gt_degrees.reshape(-1, 1), gen_degrees.reshape(-1, 1),
+                      dist_function="wasserstein")
+    mmd_spectrum = mmd(gt_spectrum.reshape(-1, 1), gen_spectrum.reshape(-1, 1),
+                       dist_function="wasserstein")
+    if verbose:
+        for name, fd in zip(STATS_NAMES, fds_np):
+            print(f"FD[{name}]: {fd:.4f}")
+        print(f"mmd_degrees: {mmd_degrees}")
+        print(f"mmd_spectrum: {mmd_spectrum}")
+    return fds_np, mmd_degrees, mmd_spectrum
+
+
+def compute_agent_stats(agent_files: list, metrics_dir: str) -> np.ndarray:
+    """Per-scene mean agent property vectors (map_metrics.py:214-230)."""
+    all_agents = []
+    for file in agent_files:
+        agents = np.load(file)
+        if agents.shape[0] == 0:
+            continue
+        all_agents.append(np.mean(agents, axis=0))
+    all_agents_np = np.vstack(all_agents) if all_agents else np.zeros((0, 9))
+    os.makedirs(metrics_dir, exist_ok=True)
+    np.save(os.path.join(metrics_dir, "agents.npy"), all_agents_np)
+    return all_agents_np
+
+
+def compute_track_stats(track_files: list, metrics_dir: str) -> np.ndarray:
+    """GT-side agent stats from track pickles (map_metrics.py:233-270)."""
+    all_tracks = []
+    for file in track_files:
+        with open(file, "rb") as f:
+            track_dict = pickle.load(f)
+        trajs = track_dict["trajs"]
+        if trajs.shape[0] == 0:
+            continue
+        sdc_id = 0
+        curr = trajs[:, 10, :].copy()
+        valid = curr[:, -2].astype(bool)
+        vtype = curr[:, -1].astype(bool)
+        curr = curr[np.logical_and(valid, vtype)]
+        if curr.shape[0] == 0:
+            continue
+        curr[:, :3] = curr[:, :3] - curr[sdc_id, :3]
+        all_tracks.append(np.mean(curr[:, :9], axis=0))
+    all_tracks_np = np.vstack(all_tracks) if all_tracks else np.zeros((0, 9))
+    os.makedirs(metrics_dir, exist_ok=True)
+    np.save(os.path.join(metrics_dir, "agents.npy"), all_tracks_np)
+    return all_tracks_np

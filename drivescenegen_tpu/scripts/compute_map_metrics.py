@@ -1,0 +1,88 @@
+"""Map-metrics CLI (reference: scripts/compute_map_metrics.py): compute
+per-side map statistics (cached as .npy) and the Frechet/MMD comparison.
+
+  python -m drivescenegen_tpu.scripts.compute_map_metrics \
+      --gt_dir <dir-with-graph/> --gen_dir <dir-with-graph/> \
+      --map_range 80 --map_res 256
+
+The gen side goes through the pixel->world transform (generated graphs are
+in pixel coords); the GT side is already metric (graphs from
+data/graph_export.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+from drivescenegen_tpu.eval import map_metrics
+from drivescenegen_tpu.utils.io import get_all_filenames
+
+
+def _side_stats(data_dir: str, num_samples: int, map_range, map_res, refresh: bool):
+    metrics_dir = os.path.join(data_dir, "metrics")
+    have_cache = all(
+        os.path.exists(os.path.join(metrics_dir, f"{n}.npy"))
+        for n in ("stats", "degrees", "spectrum")
+    )
+    if have_cache and not refresh:
+        return (
+            np.load(os.path.join(metrics_dir, "stats.npy")),
+            np.load(os.path.join(metrics_dir, "degrees.npy")),
+            np.load(os.path.join(metrics_dir, "spectrum.npy")),
+        )
+    files = sorted(glob.glob(os.path.join(data_dir, "graph", "*")))
+    if not files:
+        raise SystemExit(f"no graph pickles under {data_dir}/graph")
+    if len(files) > num_samples:
+        files = random.sample(files, num_samples)
+    t0 = time.perf_counter()
+    out = map_metrics.compute_map_stats(
+        files, metrics_dir, map_range=map_range, map_res=map_res, verbose=False
+    )
+    print(f"{data_dir}: {len(files)} graphs in {time.perf_counter() - t0:.1f}s")
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Map metrics")
+    parser.add_argument("--gt_dir", required=True, type=str)
+    parser.add_argument("--gen_dir", required=True, type=str)
+    parser.add_argument("--map_range", default=80.0, type=float)
+    parser.add_argument("--map_res", default=256, type=int)
+    parser.add_argument("--num_samples", default=5000, type=int)
+    parser.add_argument("--refresh", action="store_true")
+    parser.add_argument("--json_out", default=None, type=str)
+    args = parser.parse_args(argv)
+
+    # GT graphs are in world metres already -> no transform (None, None).
+    gt_stats, gt_degrees, gt_spectrum = _side_stats(
+        args.gt_dir, args.num_samples, None, None, args.refresh
+    )
+    gen_stats, gen_degrees, gen_spectrum = _side_stats(
+        args.gen_dir, args.num_samples, args.map_range, args.map_res, args.refresh
+    )
+
+    fds, mmd_deg, mmd_spec = map_metrics.compute_map_metrics(
+        gt_stats, gt_degrees, gt_spectrum, gen_stats, gen_degrees, gen_spectrum
+    )
+
+    result = {
+        "frechet": {n: float(f) for n, f in zip(map_metrics.STATS_NAMES, fds)},
+        "mmd_degrees": float(mmd_deg),
+        "mmd_spectrum": float(mmd_spec),
+    }
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Agent decoder: generated raster B channel -> vehicle list
+(reference: vectorization/direct/extract_vehicles.py).
+
+Blue channel -> threshold -> contours -> min-area rectangles; physical size
+gates (reject < 4.0 x 1.75 m, clamp to 5.0 x 2.2 m); speed decoded from the
+blue intensity deviation x 60; heading snapped to the nearest lane within
+dist_thresh with speed clamped to [min_speed, max_speed], else v = 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+from drivescenegen_tpu.vectorize.graph_utils import normalize_angle_rad
+
+
+def get_image_histogram(img01: np.ndarray):
+    """Modal values of the R and G channels (extract_vehicles.py:14-44)."""
+    r_hist, r_bins = np.histogram(img01[..., 0].ravel(), bins=256, range=(0, 1))
+    g_hist, g_bins = np.histogram(img01[..., 1].ravel(), bins=256, range=(0, 1))
+    return r_bins[np.argmax(r_hist)], g_bins[np.argmax(g_hist)]
+
+
+def verify_vehicle(img01: np.ndarray, x: int, y: int, r: int = 2):
+    """Speed gradient at (x, y): mean blue deviation from 0.5 in a (2r+1)^2
+    window, gated on the window deviating from the R/G background modes
+    (extract_vehicles.py:47-81, including its 1-mean(R) quirk)."""
+    H, W = img01.shape[:2]
+    dx_mode, dy_mode = get_image_histogram(img01)
+    win = img01[max(0, y - r) : min(H, y + r + 1), max(0, x - r) : min(W, x + r + 1)]
+    dx_grey = 1.0 - win[..., 0].mean()
+    dy_grey = win[..., 1].mean()
+    vel = win[..., 2].mean()
+    gradient = [0.0, 0.0, 0.0]
+    if abs(dx_grey - dx_mode) > 0.05 or abs(dy_grey - dy_mode) > 0.05:
+        gradient = [vel - 0.5, dx_grey - dx_mode, dy_grey - dy_mode]
+    return gradient
+
+
+def estimate_agent_yaw(center, lanes: List[np.ndarray]):
+    """Yaw of (and distance to) the nearest lane waypoint
+    (extract_vehicles.py:84-103)."""
+    best = None
+    for lane in lanes:
+        lane = np.asarray(lane)
+        d = np.hypot(lane[:, 0] - center[0], lane[:, 1] - center[1])
+        i = int(np.argmin(d))
+        yaw = math.atan2(lane[i, 4], lane[i, 3])
+        if best is None or d[i] < best[1]:
+            best = (yaw, float(d[i]))
+    if best is None:
+        return 0.0, float("inf")
+    return best
+
+
+def _to_world(agent: list, map_center, map_scale: float) -> list:
+    """Pixel box -> world metres (extract_vehicles.py:106-118)."""
+    agent[0] = agent[0] * map_scale - map_center[0]
+    agent[1] = map_center[1] - agent[1] * map_scale
+    agent[2] = agent[2] * map_scale
+    agent[3] = agent[3] * map_scale
+    agent[4] = agent[4] * map_scale
+    agent[5] = agent[5] * map_scale
+    agent[6] = agent[6] * (-1)
+    agent[8] = agent[8] * (-1)
+    return agent
+
+
+def extract_agents(
+    img01: np.ndarray,
+    lanes: Optional[List[np.ndarray]],
+    map_range: float = 80.0,
+    dist_thresh: float = 3.0,
+    min_speed: float = 2.0,
+    max_speed: float = 10.0,
+) -> List[list]:
+    """float01 (H, W, 3) raster -> list of
+    [x, y, z, length, width, height, yaw, vx, vy] vehicles."""
+    H, W = img01.shape[:2]
+    map_scale = map_range / H  # m/pixel
+    map_center = (H / 2 * map_scale, W / 2 * map_scale)
+    lanes = lanes or []
+
+    blue = (img01[..., 2] * 255).astype(np.uint8)
+    _, thresh = cv2.threshold(blue, 100, 255, 0)
+    contours, _ = cv2.findContours(thresh, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+
+    vehicles = []
+    for cnt in contours:
+        (cx, cy), (length, width), angle = cv2.minAreaRect(cnt)
+        if width < length:
+            yaw = normalize_angle_rad(math.radians(angle) + math.pi)
+        else:
+            yaw = normalize_angle_rad(math.radians(angle) + math.pi / 2)
+            width, length = length, width
+
+        if length < 4.0 / map_scale or width < 1.75 / map_scale:
+            continue
+        length = min(length, 5.0 / map_scale)
+        width = min(width, 2.2 / map_scale)
+        height = 1.0 / map_scale
+
+        gradient = verify_vehicle(img01, int(cx), int(cy))
+        velocity = abs(gradient[0]) * 60.0
+
+        agent = _to_world(
+            [
+                cx, cy, 0.0, length, width, height, yaw,
+                velocity * math.cos(yaw), velocity * math.sin(yaw),
+            ],
+            map_center,
+            map_scale,
+        )
+
+        lane_yaw, dist = estimate_agent_yaw(agent[:2], lanes)
+        if dist < dist_thresh:
+            velocity = max(min_speed, min(velocity, max_speed))
+        else:
+            velocity = 0.0
+        agent[-3] = lane_yaw
+        agent[-2] = velocity * math.cos(lane_yaw)
+        agent[-1] = velocity * math.sin(lane_yaw)
+        vehicles.append(agent)
+
+    return vehicles

@@ -1,0 +1,198 @@
+"""Skeleton -> pixel graph (reference: vectorization/graph/extract_network.py,
+itself adapted from danvk's street-network extractor).
+
+Pipeline: binary mask -> Zhang-Suen skeleton (JAX, ops/morphology.py) ->
+node detection (endpoints A==1, branch points A>=3, plus centers of dense
+2x2 regions) -> multi-source BFS flood to recover pixel paths between nodes
+-> iterative merging of nodes closer than min_distance -> nx.MultiGraph
+whose edges carry `path` (pixel tuple list) and `d` (path length).
+
+Convention: arrays are indexed [x][y] (the caller passes the transposed
+mask, as the reference does at image_to_polylines.py:20), so nodes are
+(x, y) = (col, row) tuples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import networkx as nx
+import numpy as np
+import scipy.ndimage as ndi
+
+
+# ---------------------------------------------------------------------------
+# Node detection (vectorized numpy; the reference loops per pixel)
+# ---------------------------------------------------------------------------
+
+def _ring_stack(a: np.ndarray) -> np.ndarray:
+    """8 neighbors in cyclic order for every pixel, zero-padded borders."""
+    p = np.pad(a, 1)
+    order = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+    H, W = a.shape
+    return np.stack([p[1 + di : 1 + di + H, 1 + dj : 1 + dj + W] for di, dj in order])
+
+
+def detect_nodes(skel: np.ndarray) -> List[Tuple[int, int]]:
+    """Endpoints (A==1) and branch points (A>=3) of a 1-px skeleton."""
+    s = (np.asarray(skel) > 0).astype(np.uint8)
+    ring = _ring_stack(s)
+    nxt = np.roll(ring, -1, axis=0)
+    A = ((ring == 0) & (nxt == 1)).sum(axis=0)
+    is_node = (s == 1) & ((A == 1) | (A >= 3))
+    return [tuple(p) for p in np.argwhere(is_node)]
+
+
+def find_dense_skeleton_nodes(skel: np.ndarray) -> List[Tuple[int, int]]:
+    """Centers of mass of 2x2-or-larger solid regions (extract_network.py:96)."""
+    s = (np.asarray(skel) > 0).astype(np.uint8)
+    p = np.pad(s, 1)
+    H, W = s.shape
+    eroded = (
+        p[1 : 1 + H, 1 : 1 + W]
+        & p[0:H, 1 : 1 + W]
+        & p[1 : 1 + H, 0:W]
+        & p[0:H, 0:W]
+    )
+    labeled, n = ndi.label(eroded)
+    if n == 0:
+        return []
+    centers = ndi.center_of_mass(eroded, labeled, list(range(1, n + 1)))
+    return [(int(x), int(y)) for (x, y) in centers]
+
+
+def add_dense_nodes(nodes: list, dense_nodes: list, min_distance: int = 5) -> list:
+    """Append dense nodes farther than min_distance from any existing node."""
+    if not dense_nodes:
+        return list(nodes)
+    if not nodes:
+        return list(dense_nodes)
+    existing = np.array(nodes, float)
+    keep = []
+    min_d2 = min_distance**2
+    for node in dense_nodes:
+        d2 = ((existing - np.array(node, float)) ** 2).sum(axis=1)
+        if d2.min() >= min_d2:
+            keep.append(node)
+    return [*nodes, *keep]
+
+
+# ---------------------------------------------------------------------------
+# Path recovery: multi-source BFS flood with parent tracing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PixelPath:
+    start: tuple
+    stop: tuple
+    path: list
+
+
+def _is_new_path(paths: List[PixelPath], path: PixelPath) -> bool:
+    candidates = [p for p in paths if p.start == path.start and p.stop == path.stop]
+    other_interior = {c for p in candidates for c in p.path[1:-1]}
+    return not (other_interior & set(path.path[1:-1]))
+
+
+def find_paths(skel: np.ndarray, nodes: list, min_distance: int = 5) -> List[PixelPath]:
+    """Flood the skeleton from all nodes at once; where two fronts meet,
+    trace parent pointers back to recover the connecting pixel path."""
+    s = np.asarray(skel) > 0
+    width, height = s.shape
+
+    def neighbors(x, y):
+        for dy in (-1, 0, 1):
+            cy = y + dy
+            if cy < 0 or cy >= height:
+                continue
+            for dx in (-1, 0, 1):
+                cx = x + dx
+                if (dx != 0 or dy != 0) and 0 <= cx < width and s[cx, cy]:
+                    yield cx, cy
+
+    parents = {n: None for n in nodes}
+    dist = {n: 0 for n in nodes}
+
+    def trace_back(node):
+        trace = []
+        while node:
+            trace.append(node)
+            node = parents.get(node)
+        return trace
+
+    edges: List[PixelPath] = []
+    frontier = list(nodes)
+    while frontier:
+        next_frontier = []
+        for n in frontier:
+            for c in neighbors(*n):
+                if c not in parents:
+                    parents[c] = n
+                    dist[c] = dist[n] + 1
+                    next_frontier.append(c)
+                elif dist[c] >= dist[n]:
+                    tn = trace_back(n)
+                    tc = trace_back(c)
+                    tc.reverse()
+                    path = [*tc, *tn]
+                    endpoints = (path[0], path[-1])
+                    start, stop = min(endpoints), max(endpoints)
+                    candidate = PixelPath(start, stop, path)
+                    if (
+                        _is_new_path(edges, candidate)
+                        and start != stop
+                        and path[0] != path[-1]
+                    ):
+                        edges.append(candidate)
+        frontier = next_frontier
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# Node merging + graph assembly
+# ---------------------------------------------------------------------------
+
+def merge_nodes(nodes: list, edges: List[PixelPath], n1, n2) -> list:
+    ends = {n1, n2}
+    paths = [e.path for e in edges if {e.start, e.stop} == ends]
+    assert paths, f"no path between {n1} and {n2}"
+    path = min(paths, key=len)
+    new_node = path[len(path) // 2]
+    return [new_node] + [n for n in nodes if n != n1 and n != n2]
+
+
+def make_graph(edges: List[PixelPath]) -> nx.MultiGraph:
+    g = nx.MultiGraph()
+    for e in edges:
+        g.add_edge(e.start, e.stop, path=e.path, d=len(e.path) - 1)
+    return g
+
+
+def connect_graph(skel: np.ndarray, min_distance: int) -> nx.MultiGraph:
+    """Merge nodes until no edge is shorter than min_distance
+    (extract_network.py:238-261)."""
+    nodes = detect_nodes(skel)
+    nodes = add_dense_nodes(nodes, find_dense_skeleton_nodes(skel))
+    edges = find_paths(skel, nodes, min_distance)
+
+    changed = True
+    while changed:
+        changed = False
+        for edge in edges:
+            if len(edge.path) - 1 < min_distance and edge.start != edge.stop:
+                nodes = merge_nodes(nodes, edges, edge.start, edge.stop)
+                edges = find_paths(skel, nodes, min_distance)
+                changed = True
+                break
+    return make_graph(edges)
+
+
+def extract_network(px: np.ndarray, min_distance: int = 8, skel: np.ndarray = None):
+    """Binary mask ([x][y] indexed) -> (skeleton, nx.MultiGraph)."""
+    if skel is None:
+        from drivescenegen_tpu.ops.morphology import skeletonize
+
+        skel = np.asarray(skeletonize(np.ascontiguousarray(px) > 0))
+    g = connect_graph(skel, min_distance)
+    return skel, g

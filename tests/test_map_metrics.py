@@ -1,0 +1,145 @@
+import os
+import pickle
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from drivescenegen_tpu.eval import map_metrics
+
+
+def test_frechet_univariate_identity_and_symmetry():
+    assert map_metrics.frechet_distance_univariate(0.0, 1.0, 0.0, 1.0) == pytest.approx(0.0)
+    a = map_metrics.frechet_distance_univariate(0.0, 1.0, 2.0, 3.0)
+    b = map_metrics.frechet_distance_univariate(2.0, 3.0, 0.0, 1.0)
+    assert a == pytest.approx(b)
+    assert a > 0
+
+
+def test_mmd_zero_for_identical_and_positive_for_shifted(rng):
+    X = rng.normal(size=(50, 1))
+    assert map_metrics.mmd(X, X.copy(), dist_function="wasserstein") == pytest.approx(0.0)
+    Y = X + 3.0
+    assert map_metrics.mmd(X, Y, dist_function="wasserstein") > 0
+    # Plain (biased) MMD^2 variant also behaves.
+    assert map_metrics.mmd(X, X.copy()) == pytest.approx(0.0, abs=1e-12)
+    assert map_metrics.mmd(X, Y) > 0
+
+
+def _grid_graph(n=4, spacing=20.0):
+    """World-frame n x n grid with 'dist' weights and 'yaw' node attrs."""
+    g = nx.Graph()
+    for i in range(n):
+        for j in range(n):
+            g.add_node((i * spacing, j * spacing), yaw=0.1)
+    for i in range(n):
+        for j in range(n):
+            if i + 1 < n:
+                g.add_edge((i * spacing, j * spacing), ((i + 1) * spacing, j * spacing),
+                           dist=spacing)
+            if j + 1 < n:
+                g.add_edge((i * spacing, j * spacing), (i * spacing, (j + 1) * spacing),
+                           dist=spacing)
+    return g
+
+
+def test_compute_stats_grid_known_values():
+    g = _grid_graph(3, 10.0)
+    urban, geo, topo = map_metrics.compute_stats(g, map_range=None, map_res=None)
+    connectivity, density, reach, convenience = urban
+    assert density == 9 and reach == 12
+    assert connectivity == pytest.approx(24 / 9)  # mean degree of a 3x3 grid
+    # Convenience = mean all-pairs shortest path; manhattan distances on grid.
+    assert convenience > 10.0
+    assert geo[0] == pytest.approx(10.0)  # mean edge length
+    assert geo[1] == pytest.approx(0.1)  # mean yaw
+    assert topo[1] > 0  # laplacian spectrum sum
+
+
+def test_pairwise_distances_match_networkx():
+    g = _grid_graph(3, 7.0)
+    ours = sorted(map_metrics._pairwise_distances(g))
+    ref = []
+    nodes = list(g.nodes())
+    for i, n1 in enumerate(nodes[:-1]):
+        for n2 in nodes[i + 1:]:
+            try:
+                d, _ = nx.single_source_dijkstra(g, n1, n2, weight="dist")
+                ref.append(d)
+            except nx.NetworkXNoPath:
+                pass
+    np.testing.assert_allclose(ours, sorted(ref), rtol=1e-9)
+
+
+def test_compute_map_stats_and_metrics_roundtrip(tmp_path):
+    files = []
+    for i in range(6):
+        g = _grid_graph(3 + (i % 2), 10.0 + i)
+        p = tmp_path / f"{i}_graph.pickle"
+        with open(p, "wb") as f:
+            pickle.dump(g, f)
+        files.append(str(p))
+
+    stats, degrees, spectrum = map_metrics.compute_map_stats(
+        files, str(tmp_path / "m"), map_range=None, map_res=None, verbose=False
+    )
+    assert stats.shape == (6, 2)
+    assert degrees.shape == (6,) and spectrum.shape == (6,)
+    assert os.path.exists(tmp_path / "m" / "stats.npy")
+
+    # Self-comparison: all Frechet distances ~ 0, MMDs ~ 0.
+    fds, mmd_deg, mmd_spec = map_metrics.compute_map_metrics(
+        stats, degrees, spectrum, stats, degrees, spectrum, verbose=False
+    )
+    np.testing.assert_allclose(fds, 0.0, atol=1e-9)
+    assert mmd_deg == pytest.approx(0.0)
+    assert mmd_spec == pytest.approx(0.0)
+
+
+def test_graph_export_build_graph():
+    from drivescenegen_tpu.data.graph_export import build_graph
+
+    lane = np.zeros((10, 8), np.float32)
+    lane[:, 0] = np.arange(10) * 2.0
+    centerlines = {1: lane, 2: np.zeros((1, 8), np.float32)}  # 2nd too short
+    g = build_graph(centerlines)
+    assert g.number_of_edges() == 1
+    (n1, n2, data), = g.edges(data=True)
+    assert data["dist"] == pytest.approx(18.0)
+    assert g.nodes[n1]["yaw"] == pytest.approx(0.0)
+
+
+def test_end_to_end_metrics_on_synthetic(tmp_path):
+    """GT export + gen-side vectorized graphs -> finite metric values."""
+    from drivescenegen_tpu.data.graph_export import export_scenario
+    from drivescenegen_tpu.data.preprocess import decode_scenario
+    from drivescenegen_tpu.data.synthetic import make_synthetic_scenario
+    from drivescenegen_tpu.ops.raster import rasterize_scenario
+    from drivescenegen_tpu.vectorize.graph_fit import extract_polylines_from_img
+
+    gt_dir = tmp_path / "gt"
+    gen_dir = tmp_path / "gen"
+    (gen_dir / "graph").mkdir(parents=True)
+    for seed in range(3):
+        info = decode_scenario(make_synthetic_scenario(seed=seed))
+        export_scenario(info, str(gt_dir), seed, save_track=False, save_scenario=False)
+        img = rasterize_scenario(info, img_res=256, map_range=80.0)
+        lanes, dg = extract_polylines_from_img(img, map_range=80.0)
+        with open(gen_dir / "graph" / f"{seed}_graph.pickle", "wb") as f:
+            pickle.dump(dg, f)
+
+    import glob as g
+
+    gt_stats = map_metrics.compute_map_stats(
+        sorted(g.glob(str(gt_dir / "graph" / "*"))), str(gt_dir / "metrics"),
+        map_range=None, map_res=None, verbose=False,
+    )
+    gen_stats = map_metrics.compute_map_stats(
+        sorted(g.glob(str(gen_dir / "graph" / "*"))), str(gen_dir / "metrics"),
+        map_range=80.0, map_res=256, verbose=False,
+    )
+    fds, mmd_deg, mmd_spec = map_metrics.compute_map_metrics(
+        *gt_stats, *gen_stats, verbose=False
+    )
+    assert np.all(np.isfinite(fds))
+    assert np.isfinite(mmd_deg) and np.isfinite(mmd_spec)
