@@ -57,6 +57,31 @@ class TimeMLP(nn.Module):
         return h
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm followed by SiLU. Param layout matches nn.GroupNorm
+    ({scale, bias} under this module's name), so the flax path (training,
+    autodiff) and the fused Pallas kernel (sampling) share checkpoints."""
+
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from drivescenegen_tpu.ops.pallas.group_norm import (
+            fused_group_norm_silu,
+            reference_group_norm_silu,
+        )
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if self.use_pallas and jax.devices()[0].platform == "tpu":
+            return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
+        return reference_group_norm_silu(x, scale, bias, self.groups, self.eps)
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> conv -> (+time) -> GroupNorm -> SiLU -> conv,
     with a 1x1 shortcut when channel counts change (diffusers ResnetBlock2D)."""
@@ -65,19 +90,20 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array, deterministic: bool = True):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, dtype=self.dtype,
+                          use_pallas=self.use_pallas, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, dtype=self.dtype,
+                          use_pallas=self.use_pallas, name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
@@ -180,45 +206,44 @@ class UNet2D(nn.Module):
         h = nn.Conv(channels[0], (3, 3), dtype=dtype, name="conv_in")(x)
         skips = [h]
 
+        res_kw = dict(
+            groups=cfg.norm_num_groups, dropout=cfg.dropout, dtype=dtype,
+            use_pallas=cfg.use_pallas_gn,
+        )
+
         # Down path.
         for i, ch in enumerate(channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(
-                    ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
-                    dtype=dtype, name=f"down_{i}_res_{j}",
-                )(h, temb, deterministic)
+                h = ResnetBlock(ch, name=f"down_{i}_res_{j}", **res_kw)(
+                    h, temb, deterministic
+                )
                 skips.append(h)
             if i != n_blocks - 1:
                 h = Downsample(ch, dtype=dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         # Mid block: ResNet -> attention -> ResNet.
-        h = ResnetBlock(
-            channels[-1], groups=cfg.norm_num_groups, dropout=cfg.dropout,
-            dtype=dtype, name="mid_res_0",
-        )(h, temb, deterministic)
+        h = ResnetBlock(channels[-1], name="mid_res_0", **res_kw)(h, temb, deterministic)
         h = AttentionBlock(
             head_dim=cfg.attention_head_dim, groups=cfg.norm_num_groups,
             dtype=dtype, name="mid_attn",
         )(h)
-        h = ResnetBlock(
-            channels[-1], groups=cfg.norm_num_groups, dropout=cfg.dropout,
-            dtype=dtype, name="mid_res_1",
-        )(h, temb, deterministic)
+        h = ResnetBlock(channels[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
 
         # Up path (mirrored, layers_per_block+1 resnets with skip concat).
         for i, ch in enumerate(reversed(channels)):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(
-                    ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
-                    dtype=dtype, name=f"up_{i}_res_{j}",
-                )(h, temb, deterministic)
+                h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **res_kw)(
+                    h, temb, deterministic
+                )
             if i != n_blocks - 1:
                 h = Upsample(ch, dtype=dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, dtype=dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(
+            cfg.norm_num_groups, dtype=dtype, use_pallas=cfg.use_pallas_gn,
+            name="norm_out",
+        )(h)
         h = nn.Conv(cfg.out_channels, (3, 3), dtype=dtype, name="conv_out")(h)
         return h.astype(jnp.float32)
