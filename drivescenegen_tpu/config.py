@@ -100,6 +100,7 @@ class TrainConfig:
     eval_batch_size: int = 1
     eval_inference_steps: int = 750
     mixed_precision: str = "bf16"
+    cond_dropout: float = 0.1  # CFG null-branch probability (conditional models)
     log_every: int = 50
     output_dir: str = "./outputs/model_dxdy_agents_256_s80"
     dataset_glob: str = "./data/rasterized/GT_70k_s80_dxdy_agents_img/*"

@@ -12,6 +12,7 @@ Supports DDPM-750 (reference parity) and DDIM-50 (fast path).
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import time
 
@@ -39,6 +40,11 @@ def main(argv=None):
     parser.add_argument("--batch_size", default=0, type=int)
     parser.add_argument("--num_batches", default=0, type=int)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--cond_dir", default=None, type=str,
+                        help="conditional mode: directory of rasters whose R/G "
+                             "map channels condition agent generation (config-5)")
+    parser.add_argument("--guidance", default=0.0, type=float,
+                        help="classifier-free guidance scale (conditional mode)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.cfg_file)
@@ -75,9 +81,6 @@ def main(argv=None):
         batch_size = max(n_data, (batch_size // n_data) * n_data)
         logger.info(f"rounded batch to {batch_size} (data axis {n_data})")
 
-    def denoise(x, t):
-        return model.apply(params, x, t)
-
     shape = (batch_size, res, res, cfg.model.out_channels)
     fn = ddim_sample if sampler == "ddim" else ddpm_sample
 
@@ -86,10 +89,38 @@ def main(argv=None):
     # so each chip denoises its slice of the batch independently over ICI.
     from drivescenegen_tpu.parallel import batch_sharding
 
-    run = jax.jit(
-        lambda key: fn(denoise, schedule, shape, key, steps),
-        out_shardings=batch_sharding(mesh, 4),
-    )
+    conditional = args.cond_dir is not None
+    if conditional:
+        if cfg.model.cond_channels <= 0:
+            raise SystemExit("--cond_dir given but the model has cond_channels=0")
+        from drivescenegen_tpu.data.dataset import load_image
+        from drivescenegen_tpu.diffusion.cfg import make_guided_denoise
+
+        cond_files = sorted(glob.glob(os.path.join(args.cond_dir, "*.png")))
+        if not cond_files:
+            raise SystemExit(f"no cond rasters under {args.cond_dir}")
+        guidance = args.guidance or cfg.generation.guidance_scale
+
+        def run(key, cond):
+            denoise = make_guided_denoise(model.apply, params, cond, guidance)
+            return fn(denoise, schedule, shape, key, steps)
+
+        run = jax.jit(run, out_shardings=batch_sharding(mesh, 4))
+
+        def cond_batch(num):
+            sel = [cond_files[(num * batch_size + i) % len(cond_files)]
+                   for i in range(batch_size)]
+            maps = np.stack([load_image(p, res)[..., : cfg.model.cond_channels]
+                             for p in sel])
+            return jnp.asarray((maps - 0.5) / 0.5)
+    else:
+        def denoise(x, t):
+            return model.apply(params, x, t)
+
+        run_uncond = jax.jit(
+            lambda key: fn(denoise, schedule, shape, key, steps),
+            out_shardings=batch_sharding(mesh, 4),
+        )
 
     from PIL import Image
 
@@ -97,11 +128,17 @@ def main(argv=None):
     t0 = time.perf_counter()
     for num in range(num_batches):
         key = jax.random.fold_in(jax.random.key(args.seed), num)
-        # Shard the initial noise batch over "data": batch-parallel sampling.
-        imgs = run(key)
+        if conditional:
+            cond = cond_batch(num)
+            imgs = run(key, cond)
+        else:
+            imgs = run_uncond(key)
         imgs.block_until_ready()
         arr = np.asarray(imgs)
         arr01 = np.clip(arr / 2 + 0.5, 0.0, 1.0)
+        if conditional:
+            cond01 = np.clip(np.asarray(cond) / 2 + 0.5, 0.0, 1.0)
+            arr01 = np.concatenate([cond01, arr01], axis=-1)  # map R/G + agent B
         for i in range(arr01.shape[0]):
             Image.fromarray((arr01[i] * 255).astype(np.uint8)).save(
                 os.path.join(output_dir, f"loop_{num:03d}_batch_{i:03d}.png")
@@ -111,8 +148,9 @@ def main(argv=None):
             dt0 = time.perf_counter() - t0
             logger.info(f"first batch ({batch_size}) in {dt0:.1f}s incl. compile")
     dt = time.perf_counter() - t0
+    mode = f"cfg(g={args.guidance})" if conditional else "uncond"
     logger.info(
-        f"generated {total} scenes with {sampler}-{steps} in {dt:.1f}s "
+        f"generated {total} scenes with {sampler}-{steps} {mode} in {dt:.1f}s "
         f"({total/dt:.2f} scenes/s)"
     )
 

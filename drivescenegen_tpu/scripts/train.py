@@ -58,7 +58,10 @@ def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
     os.makedirs(out_dir, exist_ok=True)
     count = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
     path = os.path.join(out_dir, f"{count:03d}.png")
-    Image.fromarray((img01 * 255).astype(np.uint8)).save(path)
+    arr = (img01 * 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]  # single-channel (conditional) models save as gray
+    Image.fromarray(arr).save(path)
     return path
 
 
@@ -116,7 +119,10 @@ def main(argv=None):
     shardings = param_shardings(state.params, mesh)
     state = state._replace(params=jax.device_put(state.params, shardings))
 
-    step_fn = jax.jit(make_train_step(model, schedule, tx, lr_sched), donate_argnums=0)
+    step_fn = jax.jit(
+        make_train_step(model, schedule, tx, lr_sched, cond_dropout=tcfg.cond_dropout),
+        donate_argnums=0,
+    )
     data_key = prng.for_purpose(root, "train")
 
     it = batch_iterator(

@@ -71,19 +71,37 @@ def make_train_step(
     schedule: DiffusionSchedule,
     tx: optax.GradientTransformation,
     lr_schedule: Optional[optax.Schedule] = None,
+    cond_dropout: float = 0.1,
 ) -> Callable:
-    """Returns step(state, batch, key) -> (state, metrics). Jit outside."""
+    """Returns step(state, batch, key) -> (state, metrics). Jit outside.
+
+    Conditional models (model.cfg.cond_channels > 0) split the batch by
+    channel: the conditioning channels come first (map R/G), the diffusion
+    target follows (agent B), matching the raster layout. Cond-dropout
+    zeroes the map per-sample to train the CFG null branch.
+    """
+    cond_ch = model.cfg.cond_channels
 
     def train_step(state: TrainState, batch: jax.Array, key: jax.Array):
         step_key = jax.random.fold_in(key, state.step)
-        noise_key, t_key = jax.random.split(step_key)
-        B = batch.shape[0]
-        noise = jax.random.normal(noise_key, batch.shape, jnp.float32)
+        noise_key, t_key, drop_key = jax.random.split(step_key, 3)
+
+        if cond_ch > 0:
+            from drivescenegen_tpu.diffusion.cfg import apply_cond_dropout
+
+            cond = apply_cond_dropout(batch[..., :cond_ch], drop_key, cond_dropout)
+            target = batch[..., cond_ch:]
+        else:
+            cond = None
+            target = batch
+
+        B = target.shape[0]
+        noise = jax.random.normal(noise_key, target.shape, jnp.float32)
         t = jax.random.randint(t_key, (B,), 0, schedule.num_train_timesteps)
-        noisy = schedule.add_noise(batch, noise, t)
+        noisy = schedule.add_noise(target, noise, t)
 
         def loss_fn(params):
-            eps_hat = model.apply(params, noisy, t)
+            eps_hat = model.apply(params, noisy, t, cond)
             return jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -87,6 +87,77 @@ def estimate_path_yaws(path: Sequence, local_length: int = 10):
     )
 
 
+def connect_small_gaps(graph: nx.Graph, nodes: list, thresh: int = 4) -> nx.Graph:
+    """Bridge pairs of terminal nodes closer than thresh by joining their
+    dangling edges (graph_utils.py:67-89). Mutates and returns graph."""
+    for i, n1 in enumerate(nodes):
+        for n2 in nodes[i + 1 :]:
+            dist = np.hypot(n1[0] - n2[0], n1[1] - n2[1])
+            if dist <= thresh:
+                n1_edges = list(graph.edges(n1, keys=True))
+                n2_edges = list(graph.edges(n2, keys=True))
+                if n1_edges and n2_edges:
+                    n1_, n1_neighbour, k1 = n1_edges[0]
+                    n2_, n2_neighbour, k2 = n2_edges[0]
+                    e1_path = correct_path_direction(
+                        graph[n1_][n1_neighbour][k1]["path"], n1_neighbour, n1_
+                    )
+                    e2_path = correct_path_direction(
+                        graph[n2_][n2_neighbour][k2]["path"], n2_, n2_neighbour
+                    )
+                    new_path = e1_path + e2_path
+                    graph.add_edge(
+                        n1_neighbour, n2_neighbour, path=new_path, d=len(new_path) - 1
+                    )
+                    graph.remove_node(n1_)
+                    graph.remove_node(n2_)
+                    break
+    return graph
+
+
+def estimate_path_front_yaw(path: Sequence, local_length: int = 10):
+    """Front yaw/unit-delta only, with the legacy variant's reversed rear
+    convention (image_to_vectors_graph.py:96-112)."""
+    arr = np.array(path, dtype=float)
+    if arr.shape[0] > local_length:
+        front_delta = arr[local_length - 1] - arr[0]
+    else:
+        front_delta = arr[-1] - arr[0]
+    front = normalize_dx_dy(front_delta[0], front_delta[1])
+    return math.atan2(front[1], front[0]), front
+
+
+def find_node_directions(graph: nx.Graph, nodes_terminal: list, img01) -> tuple:
+    """Classify terminals into inlets/outlets from the SINGLE pixel color at
+    the node vs the edge direction (graph_utils.py:110-133; note the raw,
+    un-normalized degree difference — a reference quirk kept as-is).
+    img01: float (H, W, 3) array in [0, 1]."""
+    H, W = np.asarray(img01).shape[:2]
+    inlets, outlets = [], []
+    for n1 in nodes_terminal:
+        edges = list(graph.edges(n1, keys=True))
+        if not edges:
+            continue
+        n1, n2, k = edges[0]
+        dx, dy = normalize_dx_dy(n2[0] - n1[0], n2[1] - n1[1])
+        node_angle = np.rad2deg(math.atan2(dy, dx))
+
+        x = min(max(int(n1[0]), 0), W - 1)
+        y = min(max(int(n1[1]), 0), H - 1)
+        r = float(img01[y, x, 0]) * 255.0
+        g = float(img01[y, x, 1]) * 255.0
+        color_dx, color_dy = normalize_dx_dy(r - 128.0, 128.0 - g)
+        color_angle = np.rad2deg(math.atan2(color_dy, color_dx))
+
+        angle_diff = np.fabs(color_angle - node_angle)
+        if angle_diff < 90.0:
+            inlets.append((n1[0], n1[1], dx, dy, color_dx, color_dy, 1))
+        else:
+            outlets.append((n1[0], n1[1], -dx, -dy, color_dx, color_dy, 0))
+
+    return np.array(inlets), np.array(outlets)
+
+
 def get_edges_between_nodes(graph: nx.Graph, n1, n2) -> list:
     return [e for e in graph.edges(n1, keys=True) if e[1] == n2]
 
