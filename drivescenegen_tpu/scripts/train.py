@@ -73,6 +73,8 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_steps", default=0, type=int,
                         help="cap total optimizer steps (0 = epochs * steps/epoch)")
+    parser.add_argument("--profile_steps", default=0, type=int,
+                        help="capture a jax.profiler trace for the first N steps")
     args = parser.parse_args(argv)
 
     overrides = {"train": {}}
@@ -131,9 +133,18 @@ def main(argv=None):
     t_start = time.perf_counter()
     t_last = t_start
     start_step = int(state.step)
+    profiling = False
     for step_i in range(start_step, total_steps):
+        if args.profile_steps and step_i == start_step + 1:  # skip compile step
+            jax.profiler.start_trace(os.path.join(tcfg.output_dir, "trace"))
+            profiling = True
         batch = shard_batch(mesh, jnp.asarray(next(it)))
         state, metrics = step_fn(state, batch, data_key)
+        if profiling and step_i == start_step + args.profile_steps:
+            jax.tree.map(lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f"profiler trace -> {tcfg.output_dir}/trace")
 
         if (step_i + 1) % tcfg.log_every == 0 or step_i + 1 == total_steps:
             now = time.perf_counter()
