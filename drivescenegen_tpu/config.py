@@ -31,15 +31,15 @@ class RasterConfig:
 
     map_range: float = 80.0  # total extent in metres; half-range = map_range/2
     img_res: int = 256  # rasterize directly at the training resolution
-    supersample: int = 2  # internal oversampling factor (replaces 512->256 resize)
     with_agent: bool = True
     background: float = 0.5  # gray background value (rasterization.py:113)
     color_max: float = 0.99  # MinMaxScaler feature_range upper bound (map_processing.py:218)
-    line_radius_px: float = 0.9  # half-width of the splatted lane ribbon, in output px
     num_points_each_polyline: int = 100  # padding chunk size (rasterization.py:44)
-    max_polylines: int = 256  # fixed-shape padding budget
+    max_polylines: int = 512  # fixed-shape padding budget
     max_agents: int = 128
-    interp_step_px: float = 0.4  # segment interpolation spacing, in output px
+    interp_k: int = 8  # splat samples per polyline segment
+    agent_time_index: int = 1  # reference draws agents at t=1 (visualization.py:192)
+    mode: str = "dxdy_agents"  # or "occupancy": 1-channel map-only (config-1)
 
 
 @dataclass
@@ -154,9 +154,11 @@ class PreprocessConfig:
 
 @dataclass
 class MetricsConfig:
-    """Map metrics (reference: scripts/compute_map_metrics.py:15-26)."""
+    """Map metrics (reference: scripts/compute_map_metrics.py:15-26; the
+    reference script pins map_range=120 for its 120m dataset — here the
+    default follows the pipeline-wide 80m extent)."""
 
-    map_range: float = 120.0
+    map_range: float = 80.0
     map_res: int = 256
     num_samples: int = 5000
 

@@ -18,8 +18,8 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 
-def load_image(path: str, img_res: int = 256) -> np.ndarray:
-    """Load one sample as float32 (H, W, 3) in [0, 1]."""
+def load_image(path: str, img_res: int = 256, n_channels: int = 3) -> np.ndarray:
+    """Load one sample as float32 (H, W, n_channels) in [0, 1]."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".npy",):
         arr = np.load(path)
@@ -29,31 +29,32 @@ def load_image(path: str, img_res: int = 256) -> np.ndarray:
     else:
         from PIL import Image
 
-        img = Image.open(path).convert("RGB")
+        img = Image.open(path).convert("L" if n_channels == 1 else "RGB")
         if img.size != (img_res, img_res):
             # The reference trains on 512 PNGs resized to 256 with
             # antialias=False (dataset.py:21-24); nearest keeps hard dots.
             img = img.resize((img_res, img_res), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
     if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    return arr
+        arr = arr[..., None] if n_channels == 1 else np.stack([arr] * 3, axis=-1)
+    return arr[..., :n_channels]
 
 
 class RasterDataset:
     """Glob-based image dataset, normalized to [-1, 1]."""
 
-    def __init__(self, pattern: str, img_res: int = 256):
+    def __init__(self, pattern: str, img_res: int = 256, n_channels: int = 3):
         self.files: Sequence[str] = sorted(glob.glob(pattern))
         if not self.files:
             raise FileNotFoundError(f"no files match {pattern!r}")
         self.img_res = img_res
+        self.n_channels = n_channels
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        x = load_image(self.files[idx], self.img_res)
+        x = load_image(self.files[idx], self.img_res, self.n_channels)
         return (x - 0.5) / 0.5
 
 
@@ -116,3 +117,21 @@ def batch_iterator(
                 q.get_nowait()
         except queue.Empty:
             pass
+
+
+def prefetch_to_device(iterator, mesh, depth: int = 2):
+    """Keep `depth` batches already transferred (and sharded over the mesh
+    "data" axis) ahead of the consumer, overlapping host->HBM DMA with the
+    device step — the HBM-prefetch stage the reference's file-based pipeline
+    lacks (SURVEY.md §2.3)."""
+    import collections
+
+    from drivescenegen_tpu.parallel.mesh import shard_batch
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(shard_batch(mesh, batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -18,6 +18,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdsg_io.so"))
 
 _lib = None
+_lib_load_failed = False
 _lib_lock = threading.Lock()
 
 
@@ -33,15 +34,19 @@ def _try_build() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _lib_load_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_load_failed:  # don't re-run `make` per call once it failed
+            return None
         if not os.path.exists(_LIB_PATH) and not _try_build():
+            _lib_load_failed = True
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
+            _lib_load_failed = True
             return None
         lib.dsg_crc32c.restype = ctypes.c_uint32
         lib.dsg_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]

@@ -137,7 +137,12 @@ class AttentionBlock(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        # f32 accumulation on the MXU for the logits (bf16 accumulate loses
+        # ~3 decimal digits over 1024 keys).
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(B, H * W, C)

@@ -224,6 +224,8 @@ def rasterize_scenario(
     color_max: float = 0.99,
     agent_time_index: int = 1,
     interp_k: int = 8,
+    num_points_each_polyline: int = 100,
+    mode: str = "dxdy_agents",
 ) -> np.ndarray:
     """Scenario dict (reference pickle format) -> (H, W, 3) raster in [0,1].
 
@@ -254,7 +256,7 @@ def rasterize_scenario(
     ego10 = trajs[sdc, 10, 0:2]
 
     feats, masks = mp.generate_batch_polylines_from_map(
-        all_points, num_points_each_polyline=100
+        all_points, num_points_each_polyline=num_points_each_polyline
     )
     if feats.shape[0]:
         feats = mp.transform_scenario(feats, ego10)
@@ -270,6 +272,15 @@ def rasterize_scenario(
         background=background,
         interp_k=interp_k,
     )
+
+    if mode == "occupancy":
+        # 1-channel map-only raster (BASELINE config-1): white lanes on
+        # black — any pixel deviating from the gray background.
+        dev = jnp.maximum(
+            jnp.abs(rg[..., 0] - background), jnp.abs(rg[..., 1] - background)
+        )
+        occ = jnp.clip(dev / 0.1, 0.0, 1.0)
+        return np.asarray(occ[..., None])
 
     if not with_agent:
         b = jnp.full((H, W, 1), background, jnp.float32)

@@ -54,12 +54,23 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Map metrics")
     parser.add_argument("--gt_dir", required=True, type=str)
     parser.add_argument("--gen_dir", required=True, type=str)
-    parser.add_argument("--map_range", default=80.0, type=float)
-    parser.add_argument("--map_res", default=256, type=int)
-    parser.add_argument("--num_samples", default=5000, type=int)
+    parser.add_argument("--cfg_file", default=None, type=str)
+    parser.add_argument("--map_range", default=None, type=float)
+    parser.add_argument("--map_res", default=None, type=int)
+    parser.add_argument("--num_samples", default=None, type=int)
     parser.add_argument("--refresh", action="store_true")
     parser.add_argument("--json_out", default=None, type=str)
     args = parser.parse_args(argv)
+
+    from drivescenegen_tpu.config import load_config
+
+    mcfg = load_config(args.cfg_file).metrics
+    if args.map_range is None:
+        args.map_range = mcfg.map_range
+    if args.map_res is None:
+        args.map_res = mcfg.map_res
+    if args.num_samples is None:
+        args.num_samples = mcfg.num_samples
 
     # GT graphs are in world metres already -> no transform (None, None).
     gt_stats, gt_degrees, gt_spectrum = _side_stats(

@@ -48,8 +48,14 @@ def _worker(files, cfg_raster, out_dir, proc_id):
                 with_agent=cfg_raster.with_agent,
                 background=cfg_raster.background,
                 color_max=cfg_raster.color_max,
+                agent_time_index=cfg_raster.agent_time_index,
+                interp_k=cfg_raster.interp_k,
+                num_points_each_polyline=cfg_raster.num_points_each_polyline,
+                mode=cfg_raster.mode,
             )
             arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+            if arr.shape[-1] == 1:
+                arr = arr[..., 0]  # occupancy mode saves grayscale
             Image.fromarray(arr).save(os.path.join(out_dir, f"{proc_id}_{i}.png"))
         except Exception as e:  # skip-and-log, like the reference's workers
             print(f"[worker {proc_id}] {path}: {type(e).__name__}: {e}")

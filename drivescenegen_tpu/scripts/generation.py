@@ -43,8 +43,9 @@ def main(argv=None):
     parser.add_argument("--cond_dir", default=None, type=str,
                         help="conditional mode: directory of rasters whose R/G "
                              "map channels condition agent generation (config-5)")
-    parser.add_argument("--guidance", default=0.0, type=float,
-                        help="classifier-free guidance scale (conditional mode)")
+    parser.add_argument("--guidance", default=None, type=float,
+                        help="classifier-free guidance scale (conditional mode; "
+                             "0 = pure unconditional)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.cfg_file)
@@ -59,10 +60,14 @@ def main(argv=None):
     num_batches = args.num_batches or gcfg.num_batches
     os.makedirs(output_dir, exist_ok=True)
 
-    # Load the trained model config if it was saved alongside the weights.
+    # Load ONLY the model/diffusion sections from the config saved alongside
+    # the weights (they must match the checkpoint); generation/mesh settings
+    # stay with the CLI config so user overrides are honored.
     model_cfg_path = os.path.join(model_dir, "config.yaml")
     if os.path.exists(model_cfg_path):
-        cfg = load_config(model_cfg_path)
+        trained = load_config(model_cfg_path)
+        cfg.model = trained.model
+        cfg.diffusion = trained.diffusion
     model = UNet2D(cfg.model)
     schedule = make_schedule(cfg.diffusion)
 
@@ -82,7 +87,12 @@ def main(argv=None):
         logger.info(f"rounded batch to {batch_size} (data axis {n_data})")
 
     shape = (batch_size, res, res, cfg.model.out_channels)
-    fn = ddim_sample if sampler == "ddim" else ddpm_sample
+    if sampler == "ddim":
+        import functools
+
+        fn = functools.partial(ddim_sample, eta=cfg.generation.ddim_eta)
+    else:
+        fn = ddpm_sample
 
     # Batch-parallel sampling: constrain the output to be sharded over the
     # "data" axis; XLA propagates the sharding back through the whole scan,
@@ -99,7 +109,10 @@ def main(argv=None):
         cond_files = sorted(glob.glob(os.path.join(args.cond_dir, "*.png")))
         if not cond_files:
             raise SystemExit(f"no cond rasters under {args.cond_dir}")
-        guidance = args.guidance or cfg.generation.guidance_scale
+        guidance = (
+            args.guidance if args.guidance is not None
+            else cfg.generation.guidance_scale
+        )
 
         def run(key, cond):
             denoise = make_guided_denoise(model.apply, params, cond, guidance)
@@ -148,7 +161,7 @@ def main(argv=None):
             dt0 = time.perf_counter() - t0
             logger.info(f"first batch ({batch_size}) in {dt0:.1f}s incl. compile")
     dt = time.perf_counter() - t0
-    mode = f"cfg(g={args.guidance})" if conditional else "uncond"
+    mode = f"cfg(g={guidance})" if conditional else "uncond"
     logger.info(
         f"generated {total} scenes with {sampler}-{steps} {mode} in {dt:.1f}s "
         f"({total/dt:.2f} scenes/s)"

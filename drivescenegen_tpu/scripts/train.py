@@ -24,7 +24,7 @@ from drivescenegen_tpu.config import load_config, save_config
 from drivescenegen_tpu.data.dataset import RasterDataset, batch_iterator
 from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
 from drivescenegen_tpu.models import UNet2D
-from drivescenegen_tpu.parallel import make_mesh, param_shardings, shard_batch
+from drivescenegen_tpu.parallel import make_mesh, param_shardings
 from drivescenegen_tpu.training import (
     create_optimizer,
     init_train_state,
@@ -97,7 +97,15 @@ def main(argv=None):
         )
     logger.info(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}")
 
-    dataset = RasterDataset(tcfg.dataset_glob, img_res=cfg.model.sample_size)
+    n_channels = cfg.model.in_channels + cfg.model.cond_channels
+    dataset = RasterDataset(
+        tcfg.dataset_glob, img_res=cfg.model.sample_size, n_channels=n_channels
+    )
+    if len(dataset) < tcfg.batch_size:
+        raise SystemExit(
+            f"dataset has {len(dataset)} samples < batch_size {tcfg.batch_size}; "
+            f"reduce train.batch_size or add data"
+        )
     steps_per_epoch = len(dataset) // tcfg.batch_size
     total_steps = args.max_steps or steps_per_epoch * tcfg.num_epochs
     logger.info(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
@@ -127,8 +135,11 @@ def main(argv=None):
     )
     data_key = prng.for_purpose(root, "train")
 
-    it = batch_iterator(
-        dataset, tcfg.batch_size, seed=tcfg.seed, num_epochs=None
+    from drivescenegen_tpu.data.dataset import prefetch_to_device
+
+    it = prefetch_to_device(
+        batch_iterator(dataset, tcfg.batch_size, seed=tcfg.seed, num_epochs=None),
+        mesh,
     )
     t_start = time.perf_counter()
     t_last = t_start
@@ -138,7 +149,7 @@ def main(argv=None):
         if args.profile_steps and step_i == start_step + 1:  # skip compile step
             jax.profiler.start_trace(os.path.join(tcfg.output_dir, "trace"))
             profiling = True
-        batch = shard_batch(mesh, jnp.asarray(next(it)))
+        batch = next(it)
         state, metrics = step_fn(state, batch, data_key)
         if profiling and step_i == start_step + args.profile_steps:
             jax.tree.map(lambda x: x.block_until_ready(), metrics)

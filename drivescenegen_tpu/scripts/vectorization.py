@@ -48,6 +48,7 @@ def vectorize(img01, method: str = "GRAPH_FIT", map_range: float = 80.0,
         kwargs = dict(
             min_distance=vcfg.min_distance,
             intersection_offset=vcfg.intersection_offset,
+            length_thresh=vcfg.length_thresh,
         )
     try:
         if method == "GRAPH_FIT":
@@ -239,6 +240,13 @@ def main(argv=None):
             procs.append(p)
         for p in procs:
             p.join()
+        # Re-run any crashed worker's shard in-process (covers both a single
+        # OOM-killed worker and the spawn-cannot-reimport-__main__ case
+        # under REPL/heredoc parents).
+        failed = [pid for pid, p in enumerate(procs) if p.exitcode != 0]
+        for pid in failed:
+            logger.warning(f"worker {pid} exited abnormally; rerunning its shard")
+            _worker(shards[pid], vcfg, dirs, pid)
 
     dt = time.perf_counter() - t0
     n = len(glob.glob(os.path.join(graph_dir, "*")))

@@ -82,9 +82,11 @@ def make_train_step(
     """
     cond_ch = model.cfg.cond_channels
 
+    use_dropout = model.cfg.dropout > 0.0
+
     def train_step(state: TrainState, batch: jax.Array, key: jax.Array):
         step_key = jax.random.fold_in(key, state.step)
-        noise_key, t_key, drop_key = jax.random.split(step_key, 3)
+        noise_key, t_key, drop_key, do_key = jax.random.split(step_key, 4)
 
         if cond_ch > 0:
             from drivescenegen_tpu.diffusion.cfg import apply_cond_dropout
@@ -101,7 +103,13 @@ def make_train_step(
         noisy = schedule.add_noise(target, noise, t)
 
         def loss_fn(params):
-            eps_hat = model.apply(params, noisy, t, cond)
+            if use_dropout:
+                eps_hat = model.apply(
+                    params, noisy, t, cond, deterministic=False,
+                    rngs={"dropout": do_key},
+                )
+            else:
+                eps_hat = model.apply(params, noisy, t, cond)
             return jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -18,19 +18,22 @@ import numpy as np
 from drivescenegen_tpu.vectorize.graph_utils import normalize_angle_rad
 
 
+from drivescenegen_tpu.vectorize.image_utils import channel_background_modes
+
+
 def get_image_histogram(img01: np.ndarray):
-    """Modal values of the R and G channels (extract_vehicles.py:14-44)."""
-    r_hist, r_bins = np.histogram(img01[..., 0].ravel(), bins=256, range=(0, 1))
-    g_hist, g_bins = np.histogram(img01[..., 1].ravel(), bins=256, range=(0, 1))
-    return r_bins[np.argmax(r_hist)], g_bins[np.argmax(g_hist)]
+    """Modal values of the R and G channels (extract_vehicles.py:14-44) —
+    same computation as image_utils.channel_background_modes."""
+    return channel_background_modes(img01)
 
 
-def verify_vehicle(img01: np.ndarray, x: int, y: int, r: int = 2):
+def verify_vehicle(img01: np.ndarray, x: int, y: int, r: int = 2, modes=None):
     """Speed gradient at (x, y): mean blue deviation from 0.5 in a (2r+1)^2
     window, gated on the window deviating from the R/G background modes
-    (extract_vehicles.py:47-81, including its 1-mean(R) quirk)."""
+    (extract_vehicles.py:47-81, including its 1-mean(R) quirk). Pass
+    precomputed `modes` to avoid re-histogramming per contour."""
     H, W = img01.shape[:2]
-    dx_mode, dy_mode = get_image_histogram(img01)
+    dx_mode, dy_mode = modes if modes is not None else get_image_histogram(img01)
     win = img01[max(0, y - r) : min(H, y + r + 1), max(0, x - r) : min(W, x + r + 1)]
     dx_grey = 1.0 - win[..., 0].mean()
     dy_grey = win[..., 1].mean()
@@ -89,6 +92,7 @@ def extract_agents(
     _, thresh = cv2.threshold(blue, 100, 255, 0)
     contours, _ = cv2.findContours(thresh, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
 
+    modes = get_image_histogram(img01)  # constant per image; hoisted
     vehicles = []
     for cnt in contours:
         (cx, cy), (length, width), angle = cv2.minAreaRect(cnt)
@@ -104,7 +108,7 @@ def extract_agents(
         width = min(width, 2.2 / map_scale)
         height = 1.0 / map_scale
 
-        gradient = verify_vehicle(img01, int(cx), int(cy))
+        gradient = verify_vehicle(img01, int(cx), int(cy), modes=modes)
         velocity = abs(gradient[0]) * 60.0
 
         agent = _to_world(

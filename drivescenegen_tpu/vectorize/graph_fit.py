@@ -531,6 +531,7 @@ def extract_polylines_from_img(
     save_path: Optional[str] = None,
     min_distance: int = 4,
     intersection_offset: int = 5,
+    length_thresh: int = 25,
     skel: Optional[np.ndarray] = None,
 ):
     """Full GRAPH_FIT pipeline (image_to_polylines.py:605-769).
@@ -551,7 +552,8 @@ def extract_polylines_from_img(
         return None, None
 
     graph, directed_graph = find_intersections(
-        graph, img01, terminal_nodes, offset=intersection_offset
+        graph, img01, terminal_nodes, length_thresh=length_thresh,
+        offset=intersection_offset,
     )
 
     simplified_graph = copy.deepcopy(graph)

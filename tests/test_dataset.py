@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from drivescenegen_tpu.config import MeshConfig
+from drivescenegen_tpu.data.dataset import (
+    RasterDataset,
+    batch_iterator,
+    load_image,
+    prefetch_to_device,
+)
+from drivescenegen_tpu.parallel import make_mesh
+
+
+@pytest.fixture()
+def png_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.png")
+    return tmp_path
+
+
+def test_dataset_normalization(png_dir):
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64)
+    assert len(ds) == 10
+    x = ds[0]
+    assert x.shape == (64, 64, 3)
+    assert -1.0 <= x.min() and x.max() <= 1.0
+    # (x*0.5+0.5)*255 recovers the stored bytes.
+    raw = np.asarray(Image.open(ds.files[0]), np.float32)
+    np.testing.assert_allclose((x * 0.5 + 0.5) * 255, raw, atol=0.51)
+
+
+def test_load_image_resizes(png_dir):
+    x = load_image(str(png_dir / "0.png"), img_res=32)
+    assert x.shape == (32, 32, 3)
+
+
+def test_batch_iterator_epochs_and_shuffle(png_dir):
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64)
+    batches = list(batch_iterator(ds, batch_size=4, seed=0, num_epochs=2))
+    # 10 samples, batch 4, drop remainder -> 2 batches/epoch x 2 epochs.
+    assert len(batches) == 4
+    assert all(b.shape == (4, 64, 64, 3) for b in batches)
+    # Different seed -> different order.
+    b2 = list(batch_iterator(ds, batch_size=4, seed=1, num_epochs=1))
+    assert not np.allclose(batches[0], b2[0])
+
+
+def test_prefetch_to_device_shards(png_dir, eight_devices):
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64)
+    mesh = make_mesh(MeshConfig())
+    it = prefetch_to_device(
+        batch_iterator(ds, batch_size=8, seed=0, num_epochs=2), mesh, depth=2
+    )
+    batches = list(it)
+    assert len(batches) == 2  # 1 batch/epoch x 2 epochs
+    for b in batches:
+        assert len(b.sharding.device_set) == 8
+        assert {s.data.shape for s in b.addressable_shards} == {(1, 64, 64, 3)}

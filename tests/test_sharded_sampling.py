@@ -1,0 +1,54 @@
+"""Batch-parallel sampling over the mesh: the generation path constrains the
+sampler output to be sharded over "data" and XLA partitions the whole scan
+(scripts/generation.py). Validated here on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drivescenegen_tpu.config import DiffusionConfig, MeshConfig, ModelConfig
+from drivescenegen_tpu.diffusion import ddim_sample, make_schedule
+from drivescenegen_tpu.models import UNet2D
+from drivescenegen_tpu.parallel import batch_sharding, make_mesh
+
+TINY = ModelConfig(
+    sample_size=16, block_out_channels=(8, 16), layers_per_block=1,
+    norm_num_groups=4, attention_head_dim=8, dtype="float32",
+)
+
+
+def _setup():
+    model = UNet2D(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32)
+    )
+    schedule = make_schedule(DiffusionConfig())
+
+    def denoise(x, t):
+        return model.apply(params, x, t)
+
+    return denoise, schedule
+
+
+def test_sharded_sampling_matches_single_device(eight_devices):
+    denoise, schedule = _setup()
+    shape = (8, 16, 16, 3)
+    key = jax.random.key(3)
+
+    plain = jax.jit(lambda k: ddim_sample(denoise, schedule, shape, k, 5))(key)
+
+    mesh = make_mesh(MeshConfig())
+    sharded_fn = jax.jit(
+        lambda k: ddim_sample(denoise, schedule, shape, k, 5),
+        out_shardings=batch_sharding(mesh, 4),
+    )
+    sharded = sharded_fn(key)
+
+    # Output is actually distributed across all 8 devices.
+    assert len(sharded.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(1, 16, 16, 3)}
+    # And numerically identical to the unsharded run (partitionable threefry).
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(plain), atol=2e-5
+    )
