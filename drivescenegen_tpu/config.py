@@ -60,6 +60,10 @@ class ModelConfig:
     # bf16 activations (TPU-native analog of the reference's fp16 AMP,
     # training_pipeline.py:49).
     dtype: str = "bfloat16"
+    # Attention backend: "xla" (default) or "flash" (JAX's Pallas
+    # flash-attention kernel; useful when token counts grow beyond the
+    # 32x32 mid-block).
+    attention_impl: str = "xla"
     # Fused Pallas GroupNorm+SiLU on the sampling path. Off by default:
     # measured on v5e, XLA's own fusion matches or beats the hand kernel
     # (293 vs 120 GB/s at the 256x256x64 layer, ties elsewhere) — see

@@ -115,11 +115,18 @@ class ResnetBlock(nn.Module):
 
 class AttentionBlock(nn.Module):
     """Spatial self-attention over HxW tokens (diffusers Attention in
-    UNetMidBlock2D). Fused qkv projection; residual add."""
+    UNetMidBlock2D). Fused qkv projection; residual add.
+
+    impl="flash" uses JAX's production Pallas flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) — online-softmax
+    tiling, no materialized [heads, q, k] logits. At the default mid-block
+    size (1024 tokens) XLA attention is already small; flash matters for
+    higher-resolution/conditional variants with more tokens."""
 
     head_dim: int = 64
     groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -137,14 +144,29 @@ class AttentionBlock(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
-        # f32 accumulation on the MXU for the logits (bf16 accumulate loses
-        # ~3 decimal digits over 1024 keys).
-        logits = (
-            jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+        if self.impl == "flash" and jax.devices()[0].platform == "tpu":
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            # flash_attention wants [B, heads, seq, head_dim].
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            out = flash_attention(qh, kh, vh, causal=False, sm_scale=float(scale))
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            # f32 accumulation on the MXU for the logits (bf16 accumulate
+            # loses ~3 decimal digits over 1024 keys).
+            logits = (
+                jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(B, H * W, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj_out")(out)
         return x + out.reshape(B, H, W, C)
@@ -231,7 +253,7 @@ class UNet2D(nn.Module):
         h = ResnetBlock(channels[-1], name="mid_res_0", **res_kw)(h, temb, deterministic)
         h = AttentionBlock(
             head_dim=cfg.attention_head_dim, groups=cfg.norm_num_groups,
-            dtype=dtype, name="mid_attn",
+            dtype=dtype, impl=cfg.attention_impl, name="mid_attn",
         )(h)
         h = ResnetBlock(channels[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
 

@@ -137,29 +137,40 @@ def main(argv=None):
 
     from PIL import Image
 
-    total = 0
-    t0 = time.perf_counter()
-    for num in range(num_batches):
+    def dispatch(num):
         key = jax.random.fold_in(jax.random.key(args.seed), num)
         if conditional:
             cond = cond_batch(num)
-            imgs = run(key, cond)
-        else:
-            imgs = run_uncond(key)
-        imgs.block_until_ready()
-        arr = np.asarray(imgs)
-        arr01 = np.clip(arr / 2 + 0.5, 0.0, 1.0)
-        if conditional:
+            return run(key, cond), cond
+        return run_uncond(key), None
+
+    def save(num, imgs, cond):
+        # np.asarray blocks on this batch only; the next batch is already
+        # dispatched, so device compute overlaps PNG encoding on the host.
+        arr01 = np.clip(np.asarray(imgs) / 2 + 0.5, 0.0, 1.0)
+        if cond is not None:
             cond01 = np.clip(np.asarray(cond) / 2 + 0.5, 0.0, 1.0)
             arr01 = np.concatenate([cond01, arr01], axis=-1)  # map R/G + agent B
         for i in range(arr01.shape[0]):
             Image.fromarray((arr01[i] * 255).astype(np.uint8)).save(
                 os.path.join(output_dir, f"loop_{num:03d}_batch_{i:03d}.png")
             )
-        total += arr01.shape[0]
+        return arr01.shape[0]
+
+    total = 0
+    t0 = time.perf_counter()
+    pending = None
+    for num in range(num_batches):
+        current = (num, *dispatch(num))
+        if pending is not None:
+            total += save(*pending)
+        pending = current
         if num == 0:
+            current[1].block_until_ready()
             dt0 = time.perf_counter() - t0
             logger.info(f"first batch ({batch_size}) in {dt0:.1f}s incl. compile")
+    if pending is not None:
+        total += save(*pending)
     dt = time.perf_counter() - t0
     mode = f"cfg(g={guidance})" if conditional else "uncond"
     logger.info(

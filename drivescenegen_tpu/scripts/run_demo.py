@@ -98,9 +98,16 @@ generation:
          "--steps", str(args.steps), "--batch_size", "8",
          "--num_batches", str(args.gen_batches)]
     ))
-    stage("vectorize", lambda: vectorization.main(
-        ["--load_path", f"{wd}/generated", "--save_path", f"{wd}/vec",
+    # Best-effort on the generated samples (a briefly-trained demo model
+    # mostly produces noise, which the vectorizer rejects quickly)...
+    stage("vectorize_generated", lambda: vectorization.main(
+        ["--load_path", f"{wd}/generated", "--save_path", f"{wd}/vec_gen",
          "--n_workers", "4"]
+    ))
+    # ...and the real vectorization demo on the clean GT rasters.
+    stage("vectorize", lambda: vectorization.main(
+        ["--load_path", f"{wd}/rasterized/GT_70k_s80_dxdy_agents_img",
+         "--save_path", f"{wd}/vec", "--n_workers", "4"]
     ))
 
     # GT side for metrics.

@@ -231,15 +231,29 @@ def main(argv=None):
         _worker(jobs, vcfg, dirs, 0)
     else:
         # spawn (not fork): the parent has initialized JAX + device threads.
-        ctx = multiprocessing.get_context("spawn")
-        shards = split_round_robin(jobs, n_workers)
-        procs = []
-        for pid, shard in enumerate(shards):
-            p = ctx.Process(target=_worker, args=(shard, vcfg, dirs, pid))
-            p.start()
-            procs.append(p)
-        for p in procs:
-            p.join()
+        # Scrub TPU-plugin env for the CPU-only children — a sitecustomize
+        # that eagerly registers a TPU backend per child serializes them all
+        # on the single-chip tunnel handshake.
+        saved_env = {}
+        for var in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS"):
+            saved_env[var] = os.environ.pop(var, None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            ctx = multiprocessing.get_context("spawn")
+            shards = split_round_robin(jobs, n_workers)
+            procs = []
+            for pid, shard in enumerate(shards):
+                p = ctx.Process(target=_worker, args=(shard, vcfg, dirs, pid))
+                p.start()
+                procs.append(p)
+            for p in procs:
+                p.join()
+        finally:
+            for var, val in saved_env.items():
+                if val is None:
+                    os.environ.pop(var, None)
+                else:
+                    os.environ[var] = val
         # Re-run any crashed worker's shard in-process (covers both a single
         # OOM-killed worker and the spawn-cannot-reimport-__main__ case
         # under REPL/heredoc parents).

@@ -540,10 +540,27 @@ def extract_polylines_from_img(
     world-frame arrays [x, y, z, dx, dy, dz], or (None, None) on failure.
     """
     img01 = image_utils.to_float01(img01)
+
+    # Garbage-raster guard: an undertrained/noise sample produces a mask
+    # covering a large image fraction whose skeleton is a dense maze; the
+    # graph passes are quadratic in junction count on such inputs. Real
+    # rasters have ~3-6% lane pixels.
+    mask = image_utils.get_lane_mask(img01)
+    if mask.mean() > 0.25:
+        logger.warning(
+            f"lane mask covers {mask.mean():.0%} of the image — rejecting as noise"
+        )
+        return None, None
+
     skel_arr, graph = image_to_graph(img01, min_distance=min_distance, skel=skel)
 
     if graph.number_of_nodes() < 2 or graph.number_of_edges() < 1:
         logger.warning("Failed to extract graph from image")
+        return None, None
+    if graph.number_of_nodes() > 1500:
+        logger.warning(
+            f"degenerate skeleton graph ({graph.number_of_nodes()} nodes) — rejecting"
+        )
         return None, None
 
     terminal_nodes, branching_nodes = find_key_nodes(graph, img01)

@@ -195,12 +195,18 @@ def extract_polylines_from_img(
     (lanes, MultiDiGraph) or [] on failure (reference behavior)."""
     img01 = image_utils.to_float01(img01)
     mask = image_utils.get_lane_mask(img01).T
+    if mask.mean() > 0.25:
+        logger.warning("lane mask too dense — rejecting as noise")
+        return []
     skel_arr, graph = network.extract_network(
         mask.astype(np.uint8), min_distance=4, skel=skel
     )
 
     if graph.number_of_nodes() < 2 or graph.number_of_edges() < 1:
         logger.warning("Failed to extract graph from image")
+        return []
+    if graph.number_of_nodes() > 1500:
+        logger.warning("degenerate skeleton graph — rejecting")
         return []
 
     nodes_1_degree = find_terminal_nodes(graph)

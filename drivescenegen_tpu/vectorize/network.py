@@ -169,21 +169,28 @@ def make_graph(edges: List[PixelPath]) -> nx.MultiGraph:
     return g
 
 
-def connect_graph(skel: np.ndarray, min_distance: int) -> nx.MultiGraph:
+def connect_graph(
+    skel: np.ndarray, min_distance: int, max_merge_iters: int = 300
+) -> nx.MultiGraph:
     """Merge nodes until no edge is shorter than min_distance
-    (extract_network.py:238-261)."""
+    (extract_network.py:238-261). Each merge re-floods the skeleton, so a
+    degenerate (noise-dense) skeleton with thousands of junctions would
+    grind for minutes — max_merge_iters bounds that; real rasters converge
+    in a handful of merges."""
     nodes = detect_nodes(skel)
     nodes = add_dense_nodes(nodes, find_dense_skeleton_nodes(skel))
     edges = find_paths(skel, nodes, min_distance)
 
     changed = True
-    while changed:
+    iters = 0
+    while changed and iters < max_merge_iters:
         changed = False
         for edge in edges:
             if len(edge.path) - 1 < min_distance and edge.start != edge.stop:
                 nodes = merge_nodes(nodes, edges, edge.start, edge.stop)
                 edges = find_paths(skel, nodes, min_distance)
                 changed = True
+                iters += 1
                 break
     return make_graph(edges)
 

@@ -1,0 +1,50 @@
+"""Degenerate-input guards: vectorization must reject noise rasters fast
+instead of grinding in the quadratic graph passes."""
+
+import time
+
+import numpy as np
+
+from drivescenegen_tpu.vectorize import graph_fit, graph_legacy
+
+
+def _noise_raster(seed=0, frac=0.5):
+    """A raster whose R/G channels look like an undertrained diffusion
+    sample: ~frac of pixels deviate strongly from the gray background."""
+    rng = np.random.default_rng(seed)
+    img = np.full((256, 256, 3), 0.5, np.float32)
+    mask = rng.random((256, 256)) < frac
+    img[..., 0][mask] = rng.random(mask.sum())
+    img[..., 1][mask] = rng.random(mask.sum())
+    return img
+
+
+def test_graph_fit_rejects_noise_quickly():
+    t0 = time.perf_counter()
+    lanes, dg = graph_fit.extract_polylines_from_img(_noise_raster(), map_range=80.0)
+    dt = time.perf_counter() - t0
+    assert lanes is None and dg is None
+    assert dt < 5.0, f"noise rejection took {dt:.1f}s"
+
+
+def test_graph_legacy_rejects_noise_quickly():
+    t0 = time.perf_counter()
+    out = graph_legacy.extract_polylines_from_img(_noise_raster(1), map_range=80.0)
+    dt = time.perf_counter() - t0
+    assert out == []
+    assert dt < 5.0
+
+
+def test_moderate_noise_bounded_by_merge_cap():
+    """Below the mask-density gate but skeleton-maze-like: the merge cap in
+    connect_graph must bound the runtime."""
+    rng = np.random.default_rng(2)
+    img = np.full((256, 256, 3), 0.5, np.float32)
+    # Scattered short strokes covering ~15% of pixels.
+    for _ in range(400):
+        r, c = rng.integers(5, 250, 2)
+        img[r, c : c + rng.integers(3, 10), 0] = 0.95
+    t0 = time.perf_counter()
+    graph_fit.extract_polylines_from_img(img, map_range=80.0)
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"moderate-noise vectorization took {dt:.1f}s"
