@@ -47,7 +47,10 @@ def main():
     else:
         from drivescenegen_tpu.data.preprocess import process_files
 
-        data_files = sorted(glob.glob(os.path.join(args.load_path, "*")))
+        data_files = sorted(
+            f for f in glob.glob(os.path.join(args.load_path, "*"))
+            if os.path.isfile(f)
+        )
         if not data_files:
             raise SystemExit(f"no TFRecord shards under {args.load_path}")
         ids = process_files(

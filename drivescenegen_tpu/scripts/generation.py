@@ -71,6 +71,9 @@ def main(argv=None):
     model = UNet2D(cfg.model)
     schedule = make_schedule(cfg.diffusion)
 
+    if args.cond_dir is not None and cfg.model.cond_channels <= 0:
+        raise SystemExit("--cond_dir given but the model has cond_channels=0")
+
     res = cfg.model.sample_size
     template = jax.eval_shape(
         lambda: model.init(
@@ -78,7 +81,13 @@ def main(argv=None):
             jnp.zeros((1,), jnp.int32),
         )
     )
-    params = restore_params_only(model_dir, template)
+    try:
+        params = restore_params_only(model_dir, template)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"no exported weights under {model_dir}/params — train first "
+            f"(scripts.train exports them every save_model_epochs)"
+        )
 
     mesh = make_mesh(cfg.mesh)
     n_data = mesh.shape["data"]
