@@ -25,12 +25,14 @@ def _lane_points(start, heading, length, spacing=0.5, curvature=0.0):
 
 
 def synthetic_layout(rng: np.random.Generator, extent: float = 60.0):
-    """Random mini road network: list of (points [N,2], speed m/s)."""
+    """Random mini road network: list of (points [N,2], speed m/s).
+    Layouts are randomly rotated as a whole so the training distribution
+    covers all headings (the reference's Waymo scenes are unaligned too)."""
     kind = rng.integers(0, 3)
     lanes = []
-    if kind == 0:  # straight two-way road + parallel lane
+    if kind == 0:  # straight two-way road + optional extra lane
         y0 = rng.uniform(-10, 10)
-        gap = 3.5
+        gap = rng.uniform(3.0, 4.5)
         lanes.append((_lane_points((-extent, y0), 0.0, 2 * extent), 10.0))
         lanes.append((_lane_points((extent, y0 + gap), np.pi, 2 * extent), 10.0))
         if rng.random() < 0.5:
@@ -42,12 +44,16 @@ def synthetic_layout(rng: np.random.Generator, extent: float = 60.0):
         lanes.append((_lane_points((off, -extent), np.pi / 2, 2 * extent), 9.0))
         lanes.append((_lane_points((off + 3.5, extent), -np.pi / 2, 2 * extent), 9.0))
     else:  # arc + straight
-        r = rng.uniform(25, 60)
+        r = rng.uniform(25, 60) * rng.choice([-1.0, 1.0])
         lanes.append(
             (_lane_points((-extent, -10.0), 0.2, 2.2 * extent, curvature=1.0 / r), 8.0)
         )
         lanes.append((_lane_points((-extent, 8.0), 0.0, 2 * extent), 11.0))
-    return lanes
+
+    # Random global rotation about the origin.
+    theta = rng.uniform(-np.pi, np.pi)
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    return [(pts @ R.T, speed) for pts, speed in lanes]
 
 
 def _fill_lane(feature, pts: np.ndarray, lane_type: int = 2):
