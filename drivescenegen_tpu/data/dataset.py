@@ -111,11 +111,12 @@ def batch_iterator(
             yield batch
     finally:
         stop.set()
-        # Drain so the worker's blocked put() releases.
+        # Drain so the worker's blocked put() releases. Guard against
+        # interpreter teardown, where module globals may already be None.
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except Exception:
             pass
 
 
