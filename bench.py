@@ -36,6 +36,9 @@ def main():
     from drivescenegen_tpu.config import DiffusionConfig, ModelConfig
     from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
     from drivescenegen_tpu.models import UNet2D
+    from drivescenegen_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n_chips = len(jax.devices())
     platform = jax.devices()[0].platform

@@ -98,6 +98,7 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     weight_decay: float = 0.01  # torch AdamW default (scripts/train.py:66)
+    ema_decay: float = 0.0  # 0 = off (reference parity); 0.9999 typical
     seed: int = 14555
     save_model_epochs: int = 1
     save_image_epochs: int = 1

@@ -48,6 +48,10 @@ def main(argv=None):
                              "0 = pure unconditional)")
     args = parser.parse_args(argv)
 
+    from drivescenegen_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = load_config(args.cfg_file)
     gcfg = cfg.generation
     model_dir = args.model_dir or gcfg.model_dir

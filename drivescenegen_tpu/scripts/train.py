@@ -77,6 +77,10 @@ def main(argv=None):
                         help="capture a jax.profiler trace for the first N steps")
     args = parser.parse_args(argv)
 
+    from drivescenegen_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     overrides = {"train": {}}
     if args.dataset_glob:
         overrides["train"]["dataset_glob"] = args.dataset_glob
@@ -116,7 +120,10 @@ def main(argv=None):
 
     root = prng.root_key(tcfg.seed)
     sample_shape = (cfg.model.sample_size, cfg.model.sample_size, cfg.model.in_channels)
-    state = init_train_state(model, tx, prng.for_purpose(root, "init"), sample_shape)
+    state = init_train_state(
+        model, tx, prng.for_purpose(root, "init"), sample_shape,
+        ema=tcfg.ema_decay > 0.0,
+    )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logger.info(f"model parameters: {n_params:,}")
 
@@ -130,7 +137,10 @@ def main(argv=None):
     state = state._replace(params=jax.device_put(state.params, shardings))
 
     step_fn = jax.jit(
-        make_train_step(model, schedule, tx, lr_sched, cond_dropout=tcfg.cond_dropout),
+        make_train_step(
+            model, schedule, tx, lr_sched, cond_dropout=tcfg.cond_dropout,
+            ema_decay=tcfg.ema_decay,
+        ),
         donate_argnums=0,
     )
     data_key = prng.for_purpose(root, "train")
@@ -176,10 +186,15 @@ def main(argv=None):
                 save_checkpoint(
                     ckpt_dir, state, max_to_keep=tcfg.checkpoint_max_to_keep
                 )
-                save_params_only(tcfg.output_dir, state.params, int(state.step))
+                # Export EMA weights for sampling when enabled.
+                export = state.ema_params if state.ema_params is not None else state.params
+                save_params_only(tcfg.output_dir, export, int(state.step))
             if epoch % tcfg.save_image_epochs == 0 or step_i + 1 == total_steps:
+                eval_params = (
+                    state.ema_params if state.ema_params is not None else state.params
+                )
                 path = save_sample_image(
-                    state.params, model, schedule, cfg,
+                    eval_params, model, schedule, cfg,
                     os.path.join(tcfg.output_dir, "samples"), tcfg.seed,
                     sampler="ddim" if tcfg.eval_inference_steps <= 100 else "ddpm",
                     steps=tcfg.eval_inference_steps,

@@ -27,6 +27,8 @@ def save_checkpoint(
 ) -> None:
     mgr = _manager(directory, max_to_keep)
     payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     if extra:
         payload["extra"] = extra
     mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
@@ -56,12 +58,15 @@ def restore_checkpoint(directory: str, template_state: TrainState) -> TrainState
         "opt_state": template_state.opt_state,
         "step": template_state.step,
     }
+    if template_state.ema_params is not None:
+        template["ema_params"] = template_state.ema_params
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     return TrainState(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        ema_params=restored.get("ema_params"),
     )
 
 

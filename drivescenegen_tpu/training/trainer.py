@@ -28,6 +28,9 @@ class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jax.Array
+    # EMA of params (None when disabled). Standard diffusion practice the
+    # reference lacks: sampling from the average is markedly more stable.
+    ema_params: Optional[dict] = None
 
 
 def create_optimizer(
@@ -58,12 +61,18 @@ def init_train_state(
     tx: optax.GradientTransformation,
     key: jax.Array,
     sample_shape: Tuple[int, ...],
+    ema: bool = False,
 ) -> TrainState:
     x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)
     params = model.init(key, x, t)
     opt_state = tx.init(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+    )
 
 
 def make_train_step(
@@ -72,6 +81,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lr_schedule: Optional[optax.Schedule] = None,
     cond_dropout: float = 0.1,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Returns step(state, batch, key) -> (state, metrics). Jit outside.
 
@@ -115,7 +125,15 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        ema_params = state.ema_params
+        if ema_decay > 0.0 and ema_params is not None:
+            ema_params = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema_params, params
+            )
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            ema_params=ema_params,
+        )
 
         metrics = {
             "loss": loss,
