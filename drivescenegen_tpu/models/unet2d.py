@@ -145,6 +145,10 @@ class AttentionBlock(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
 
+        if self.impl not in ("xla", "flash"):
+            raise ValueError(
+                f"unknown attention impl {self.impl!r}; expected 'xla' or 'flash'"
+            )
         if self.impl == "flash" and jax.devices()[0].platform == "tpu":
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,

@@ -171,7 +171,9 @@ def reference_group_norm_silu(x, scale, bias, groups=32, eps=1e-6):
     g_sq = ch_sq.reshape(B, groups, cpg).sum(axis=-1)
     count = n_tokens * cpg
     mean_g = g_sum / count
-    var_g = g_sq / count - mean_g * mean_g
+    # One-pass variance can go slightly negative from f32 cancellation when
+    # |mean| >> std; clamp at 0 like flax does (rsqrt(neg) would be NaN).
+    var_g = jnp.maximum(g_sq / count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)  # [B, G]
 
     # Per-channel mul/add vectors, folded with scale/bias (f32), cast once.

@@ -114,8 +114,6 @@ def main(argv=None):
 
     conditional = args.cond_dir is not None
     if conditional:
-        if cfg.model.cond_channels <= 0:
-            raise SystemExit("--cond_dir given but the model has cond_channels=0")
         from drivescenegen_tpu.data.dataset import load_image
         from drivescenegen_tpu.diffusion.cfg import make_guided_denoise
 

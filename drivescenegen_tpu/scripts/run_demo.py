@@ -122,7 +122,25 @@ generation:
             export_scenario(info, f"{wd}/gt", i)
 
     stage("gt_export", gt_export)
-    stage("metrics", lambda: compute_map_metrics.main(
+
+    # Model-quality metrics (GT vs generated samples) — only when some
+    # generated samples survived vectorization (a smoke-trained model may
+    # produce none).
+    if glob.glob(f"{wd}/vec_gen/graph/*"):
+        print("[demo] metrics vs GENERATED samples (model quality):")
+        stage("metrics_generated", lambda: compute_map_metrics.main(
+            ["--gt_dir", f"{wd}/gt", "--gen_dir", f"{wd}/vec_gen",
+             "--map_range", "80", "--map_res", str(args.img_res)]
+        ))
+    else:
+        print("[demo] no generated samples passed vectorization "
+              "(expected for a briefly-trained smoke model) — skipping "
+              "model-quality metrics")
+
+    # Round-trip metrics (GT vs vectorized GT rasters) — measures the
+    # rasterize->vectorize fidelity, NOT the model.
+    print("[demo] metrics vs vectorized GT rasters (round-trip fidelity):")
+    stage("metrics_roundtrip", lambda: compute_map_metrics.main(
         ["--gt_dir", f"{wd}/gt", "--gen_dir", f"{wd}/vec",
          "--map_range", "80", "--map_res", str(args.img_res)]
     ))

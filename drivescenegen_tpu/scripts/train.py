@@ -135,6 +135,8 @@ def main(argv=None):
     # Place params/opt_state on the mesh (replicated unless TP rules apply).
     shardings = param_shardings(state.params, mesh)
     state = state._replace(params=jax.device_put(state.params, shardings))
+    if state.ema_params is not None:
+        state = state._replace(ema_params=jax.device_put(state.ema_params, shardings))
 
     step_fn = jax.jit(
         make_train_step(

@@ -11,6 +11,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from drivescenegen_tpu.training.trainer import TrainState
@@ -60,7 +61,17 @@ def restore_checkpoint(directory: str, template_state: TrainState) -> TrainState
     }
     if template_state.ema_params is not None:
         template["ema_params"] = template_state.ema_params
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    except Exception:
+        if "ema_params" not in template:
+            mgr.close()
+            raise
+        # Resuming a pre-EMA checkpoint with EMA now enabled: restore
+        # without the EMA slot and seed the average from the params.
+        template.pop("ema_params")
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        restored["ema_params"] = jax.tree.map(jnp.copy, restored["params"])
     mgr.close()
     return TrainState(
         params=restored["params"],

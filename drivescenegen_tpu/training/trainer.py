@@ -127,8 +127,14 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         ema_params = state.ema_params
         if ema_decay > 0.0 and ema_params is not None:
+            # Decay warmup (diffusers EMAModel-style): early steps use a
+            # much smaller decay so the average forgets the random init;
+            # without this a 5k-step run at decay 0.9999 would export
+            # weights that are still ~60% random init.
+            step_f = state.step.astype(jnp.float32) + 1.0
+            decay = jnp.minimum(ema_decay, (1.0 + step_f) / (10.0 + step_f))
             ema_params = jax.tree.map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema_params, params
+                lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
             )
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1,

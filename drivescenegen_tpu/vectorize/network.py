@@ -192,6 +192,13 @@ def connect_graph(
                 changed = True
                 iters += 1
                 break
+    if changed:
+        import logging
+
+        logging.getLogger("network").warning(
+            f"connect_graph merge cap ({max_merge_iters}) exhausted; graph may "
+            f"retain edges shorter than {min_distance}px"
+        )
     return make_graph(edges)
 
 
