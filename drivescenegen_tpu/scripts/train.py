@@ -92,6 +92,9 @@ def main(argv=None):
     os.makedirs(tcfg.output_dir, exist_ok=True)
     save_config(cfg, os.path.join(tcfg.output_dir, "config.yaml"))
     writer = MetricWriter(os.path.join(tcfg.output_dir, "logs"))
+    from drivescenegen_tpu.utils.logging import configure_file_logging
+
+    configure_file_logging(os.path.join(tcfg.output_dir, "logs"))
 
     mesh = make_mesh(cfg.mesh)
     n_data = mesh.shape["data"]

@@ -14,17 +14,47 @@ import time
 from typing import Optional
 
 
+_FORMAT = "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+
+
 def get_logger(name: str, level: int = logging.INFO) -> logging.Logger:
     logger = logging.getLogger(name)
     if not logger.handlers:
         handler = logging.StreamHandler()
-        handler.setFormatter(
-            logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-        )
+        handler.setFormatter(logging.Formatter(_FORMAT))
         logger.addHandler(handler)
         logger.propagate = False
     logger.setLevel(level)
     return logger
+
+
+def configure_file_logging(log_dir: str, max_bytes: int = 10 * 1024 * 1024,
+                           backup_count: int = 20) -> str:
+    """Attach a rotating-file handler to the root logger (the reference's
+    config/logging.yaml rotating handlers, utils/io.py + __init__.py:26-29).
+    Returns the log file path."""
+    import logging.handlers
+
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, "drivescenegen.log")
+    root = logging.getLogger()
+    for h in root.handlers:
+        if isinstance(h, logging.handlers.RotatingFileHandler) and \
+                getattr(h, "baseFilename", None) == os.path.abspath(path):
+            return path
+    handler = logging.handlers.RotatingFileHandler(
+        path, maxBytes=max_bytes, backupCount=backup_count, encoding="utf8"
+    )
+    handler.setFormatter(logging.Formatter(_FORMAT))
+    handler.setLevel(logging.INFO)
+    root.addHandler(handler)
+    # Named loggers don't propagate (console handlers are per-logger); give
+    # existing ones the file handler too.
+    for name in list(logging.Logger.manager.loggerDict):
+        lg = logging.getLogger(name)
+        if lg.handlers and not lg.propagate:
+            lg.addHandler(handler)
+    return path
 
 
 class MetricWriter:
