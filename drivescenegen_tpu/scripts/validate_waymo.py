@@ -7,8 +7,9 @@ this environment — STATUS.md).
 
 Checks per scenario: scenario_id present; tracks [A, 91, 11] with plausible
 coordinate magnitudes and valid flags; map features of each category parse
-with finite coordinates; lane types in range; rasterization produces lane
-pixels. Prints a summary and exits nonzero on hard failures.
+with finite coordinates; lane types in range; with --rasterize, also that
+rasterization produces lane pixels. Prints a summary and exits nonzero on
+hard failures or when nothing was checked.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import sys
 import numpy as np
 
 
-def validate_scenario(info: dict, idx: int) -> list:
+def validate_scenario(info: dict) -> list:
     problems = []
     if not info["scenario_id"]:
         problems.append("empty scenario_id")
@@ -43,15 +44,14 @@ def validate_scenario(info: dict, idx: int) -> list:
     n_lanes = len(info["lane"])
     if n_lanes == 0:
         problems.append("no lane features decoded (MapFeature.lane tag?)")
-    for lane in list(info["lane"].values())[:3]:
-        if not np.isfinite(lane[:, :3]).all():
-            problems.append("non-finite lane coordinates")
-        if lane.shape[1] != 8:
-            problems.append(f"lane feature width {lane.shape[1]} != 8")
-    if not any(
-        np.any(lane[:, 6] == 2.0) for lane in info["lane"].values()
-    ):
-        problems.append("no TYPE_SURFACE_STREET lanes (type enum mapping?)")
+    else:
+        for lane in list(info["lane"].values())[:3]:
+            if not np.isfinite(lane[:, :3]).all():
+                problems.append("non-finite lane coordinates")
+            if lane.shape[1] != 8:
+                problems.append(f"lane feature width {lane.shape[1]} != 8")
+        if not any(np.any(lane[:, 6] == 2.0) for lane in info["lane"].values()):
+            problems.append("no TYPE_SURFACE_STREET lanes (type enum mapping?)")
 
     sdc = info["sdc_track_index"]
     if not (0 <= sdc < max(trajs.shape[0], 1)):
@@ -79,7 +79,7 @@ def main(argv=None):
         if i >= args.n:
             break
         info = decode_scenario(data)
-        problems = validate_scenario(info, i)
+        problems = validate_scenario(info)
         for key in category_counts:
             category_counts[key] += len(info.get(key, {}))
         if args.rasterize:
@@ -100,6 +100,10 @@ def main(argv=None):
         print("note: zero driveway features — fine if the shard has none, but "
               "verify MapFeature.driveway tag (20) against one shard known to "
               "contain driveways")
+    if n_checked == 0:
+        print("ERROR: no scenarios checked — empty shard or --n 0; nothing "
+              "was validated")
+        sys.exit(1)
     sys.exit(1 if n_bad else 0)
 
 

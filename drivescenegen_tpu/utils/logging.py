@@ -16,6 +16,10 @@ from typing import Optional
 
 _FORMAT = "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
 
+# The active rotating-file handler, if configure_file_logging has run;
+# get_logger attaches it to loggers created later.
+_file_handler = None
+
 
 def get_logger(name: str, level: int = logging.INFO) -> logging.Logger:
     logger = logging.getLogger(name)
@@ -24,36 +28,46 @@ def get_logger(name: str, level: int = logging.INFO) -> logging.Logger:
         handler.setFormatter(logging.Formatter(_FORMAT))
         logger.addHandler(handler)
         logger.propagate = False
+    if _file_handler is not None and _file_handler not in logger.handlers:
+        logger.addHandler(_file_handler)
     logger.setLevel(level)
     return logger
 
 
 def configure_file_logging(log_dir: str, max_bytes: int = 10 * 1024 * 1024,
                            backup_count: int = 20) -> str:
-    """Attach a rotating-file handler to the root logger (the reference's
-    config/logging.yaml rotating handlers, utils/io.py + __init__.py:26-29).
+    """Attach a rotating-file handler to the root logger AND to every
+    get_logger-style (non-propagating) logger, existing or future
+    (the reference's config/logging.yaml rotating handlers).
     Returns the log file path."""
     import logging.handlers
+
+    global _file_handler
 
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, "drivescenegen.log")
     root = logging.getLogger()
-    for h in root.handlers:
-        if isinstance(h, logging.handlers.RotatingFileHandler) and \
-                getattr(h, "baseFilename", None) == os.path.abspath(path):
-            return path
-    handler = logging.handlers.RotatingFileHandler(
-        path, maxBytes=max_bytes, backupCount=backup_count, encoding="utf8"
-    )
-    handler.setFormatter(logging.Formatter(_FORMAT))
-    handler.setLevel(logging.INFO)
-    root.addHandler(handler)
-    # Named loggers don't propagate (console handlers are per-logger); give
-    # existing ones the file handler too.
+    if root.level > logging.INFO or root.level == logging.NOTSET:
+        root.setLevel(logging.INFO)  # reference logging.yaml: root level INFO
+
+    if _file_handler is None or \
+            getattr(_file_handler, "baseFilename", None) != os.path.abspath(path):
+        handler = logging.handlers.RotatingFileHandler(
+            path, maxBytes=max_bytes, backupCount=backup_count, encoding="utf8"
+        )
+        handler.setFormatter(logging.Formatter(_FORMAT))
+        handler.setLevel(logging.INFO)
+        root.addHandler(handler)
+        _file_handler = handler
+
+    # Non-propagating loggers (our get_logger pattern) need the handler
+    # directly; run the mirror on every call so late-created loggers from
+    # repeat configuration also get covered.
     for name in list(logging.Logger.manager.loggerDict):
         lg = logging.getLogger(name)
-        if lg.handlers and not lg.propagate:
-            lg.addHandler(handler)
+        if isinstance(lg, logging.Logger) and lg.handlers and not lg.propagate:
+            if _file_handler not in lg.handlers:
+                lg.addHandler(_file_handler)
     return path
 
 

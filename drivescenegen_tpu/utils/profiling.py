@@ -18,10 +18,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         "DSG_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "drivescenegen_tpu", "xla"),
     )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, PermissionError):
+        # Read-only HOME / sandbox: run without the cache rather than fail.
+        return ""
     return cache_dir
 
 
