@@ -110,6 +110,7 @@ class TrainConfig:
     output_dir: str = "./outputs/model_dxdy_agents_256_s80"
     dataset_glob: str = "./data/rasterized/GT_70k_s80_dxdy_agents_img/*"
     checkpoint_max_to_keep: int = 3
+    cache_dataset: bool = False  # memoize decoded images in host RAM (float16)
 
 
 @dataclass

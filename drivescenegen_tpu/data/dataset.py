@@ -41,20 +41,32 @@ def load_image(path: str, img_res: int = 256, n_channels: int = 3) -> np.ndarray
 
 
 class RasterDataset:
-    """Glob-based image dataset, normalized to [-1, 1]."""
+    """Glob-based image dataset, normalized to [-1, 1].
 
-    def __init__(self, pattern: str, img_res: int = 256, n_channels: int = 3):
+    cache=True memoizes decoded images in RAM as float16 (a 24k-image
+    256x256x3 set is ~9 GB) so multi-epoch training doesn't re-decode
+    PNGs on every pass — this host has few cores and the decode would
+    otherwise starve the device."""
+
+    def __init__(self, pattern: str, img_res: int = 256, n_channels: int = 3,
+                 cache: bool = False):
         self.files: Sequence[str] = sorted(glob.glob(pattern))
         if not self.files:
             raise FileNotFoundError(f"no files match {pattern!r}")
         self.img_res = img_res
         self.n_channels = n_channels
+        self._cache: Optional[list] = [None] * len(self.files) if cache else None
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        x = load_image(self.files[idx], self.img_res, self.n_channels)
+        if self._cache is not None and self._cache[idx] is not None:
+            x = self._cache[idx].astype(np.float32)
+        else:
+            x = load_image(self.files[idx], self.img_res, self.n_channels)
+            if self._cache is not None:
+                self._cache[idx] = x.astype(np.float16)
         return (x - 0.5) / 0.5
 
 

@@ -24,11 +24,26 @@ def _lane_points(start, heading, length, spacing=0.5, curvature=0.0):
     return pts
 
 
-def synthetic_layout(rng: np.random.Generator, extent: float = 60.0):
+def _offset_reversed(pts: np.ndarray, gap: float) -> np.ndarray:
+    """Parallel lane offset by `gap` along local normals, running the
+    opposite direction (the standard two-way-road construction)."""
+    d = np.gradient(pts, axis=0)
+    n = np.stack([-d[:, 1], d[:, 0]], axis=1)
+    n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-9
+    return (pts + gap * n)[::-1]
+
+
+def synthetic_layout(rng: np.random.Generator, extent: float = 60.0,
+                     rich: bool = False):
     """Random mini road network: list of (points [N,2], speed m/s).
     Layouts are randomly rotated as a whole so the training distribution
-    covers all headings (the reference's Waymo scenes are unaligned too)."""
-    kind = rng.integers(0, 3)
+    covers all headings (the reference's Waymo scenes are unaligned too).
+
+    rich=True widens the layout family (T-junctions, curved two-ways,
+    Y-splits, parallel roads, curved crossings) for large synthetic
+    training sets; the default keeps the original three kinds so seeded
+    test fixtures are stable."""
+    kind = int(rng.integers(0, 8 if rich else 3))
     lanes = []
     if kind == 0:  # straight two-way road + optional extra lane
         y0 = rng.uniform(-10, 10)
@@ -43,12 +58,61 @@ def synthetic_layout(rng: np.random.Generator, extent: float = 60.0):
         lanes.append((_lane_points((extent, off + 3.5), np.pi, 2 * extent), 9.0))
         lanes.append((_lane_points((off, -extent), np.pi / 2, 2 * extent), 9.0))
         lanes.append((_lane_points((off + 3.5, extent), -np.pi / 2, 2 * extent), 9.0))
-    else:  # arc + straight
+    elif kind == 2:  # arc + straight
         r = rng.uniform(25, 60) * rng.choice([-1.0, 1.0])
         lanes.append(
             (_lane_points((-extent, -10.0), 0.2, 2.2 * extent, curvature=1.0 / r), 8.0)
         )
         lanes.append((_lane_points((-extent, 8.0), 0.0, 2 * extent), 11.0))
+    elif kind == 3:  # T-junction: two-way main road + two-way stub
+        y0 = rng.uniform(-12, 12)
+        gap = rng.uniform(3.2, 4.2)
+        x0 = rng.uniform(-15, 15)
+        main = _lane_points((-extent, y0), 0.0, 2 * extent)
+        lanes.append((main, 10.0))
+        lanes.append((_offset_reversed(main, gap), 10.0))
+        stub = _lane_points((x0, -extent), np.pi / 2, extent + y0 - gap / 2)
+        lanes.append((stub, 8.0))
+        lanes.append((_offset_reversed(stub, gap), 8.0))
+    elif kind == 4:  # curved two-way road
+        r = rng.uniform(35, 90) * rng.choice([-1.0, 1.0])
+        gap = rng.uniform(3.2, 4.5)
+        y0 = rng.uniform(-10, 10)
+        a = _lane_points((-extent, y0), rng.uniform(-0.25, 0.25),
+                         2.2 * extent, curvature=1.0 / r)
+        lanes.append((a, 9.0))
+        lanes.append((_offset_reversed(a, gap), 9.0))
+    elif kind == 5:  # Y-split: one inlet diverging into two arcs
+        y0 = rng.uniform(-8, 8)
+        trunk = _lane_points((-extent, y0), 0.0, extent)
+        end = trunk[-1]
+        r = rng.uniform(30, 70)
+        up = _lane_points(end, 0.0, extent, curvature=1.0 / r)
+        down = _lane_points(end, 0.0, extent, curvature=-1.0 / r)
+        lanes.append((np.concatenate([trunk, up[1:]]), 9.0))
+        lanes.append((np.concatenate([trunk, down[1:]]), 9.0))
+        if rng.random() < 0.5:
+            lanes.append((_offset_reversed(np.concatenate([trunk, up[1:]]),
+                                           rng.uniform(3.2, 4.2)), 9.0))
+    elif kind == 6:  # two separate parallel two-way roads
+        sep = rng.uniform(18, 35)
+        gap = rng.uniform(3.2, 4.2)
+        y0 = rng.uniform(-8, 8)
+        for yy in (y0 - sep / 2, y0 + sep / 2):
+            a = _lane_points((-extent, yy), 0.0, 2 * extent)
+            lanes.append((a, 10.0))
+            lanes.append((_offset_reversed(a, gap), 10.0))
+    else:  # kind == 7: straight two-way crossed by an arc
+        y0 = rng.uniform(-10, 10)
+        gap = rng.uniform(3.2, 4.2)
+        a = _lane_points((-extent, y0), 0.0, 2 * extent)
+        lanes.append((a, 10.0))
+        lanes.append((_offset_reversed(a, gap), 10.0))
+        r = rng.uniform(40, 100) * rng.choice([-1.0, 1.0])
+        arc = _lane_points((rng.uniform(-20, 0), -extent),
+                           np.pi / 2 + rng.uniform(-0.3, 0.3),
+                           2 * extent, curvature=1.0 / r)
+        lanes.append((arc, 8.0))
 
     # Random global rotation about the origin.
     theta = rng.uniform(-np.pi, np.pi)
@@ -97,7 +161,8 @@ def _track_along_lane(track, pts: np.ndarray, speed: float, t_steps: int = 91,
 
 
 def make_synthetic_scenario(
-    seed: int, scenario_id: str | None = None, n_extra_vehicles: int = 4
+    seed: int, scenario_id: str | None = None, n_extra_vehicles: int = 4,
+    rich: bool = False,
 ) -> bytes:
     """One serialized Scenario proto with a random layout + moving vehicles."""
     from drivescenegen_tpu.data.protos import dsg_scenario_pb2
@@ -109,7 +174,9 @@ def make_synthetic_scenario(
     for t in range(91):
         sc.timestamps_seconds.append(t * 0.1)
 
-    lanes = synthetic_layout(rng)
+    lanes = synthetic_layout(rng, rich=rich)
+    if rich:
+        n_extra_vehicles = int(rng.integers(2, 9))
     # World offset so ego-centering is actually exercised.
     offset = rng.uniform(-2000, 2000, size=2)
     for i, (pts, _) in enumerate(lanes):

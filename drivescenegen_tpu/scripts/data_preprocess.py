@@ -28,6 +28,9 @@ def main():
                         choices=["auto", "native", "tf", "python"])
     parser.add_argument("--synthetic", default=0, type=int,
                         help="generate N synthetic scenarios instead of reading TFRecords")
+    parser.add_argument("--synthetic_rich", action="store_true",
+                        help="use the widened synthetic layout family "
+                             "(T-junctions, curved two-ways, Y-splits, ...)")
     args = parser.parse_args()
 
     os.makedirs(args.save_path, exist_ok=True)
@@ -39,7 +42,9 @@ def main():
 
         ids = []
         for i in range(args.synthetic):
-            info = decode_scenario(make_synthetic_scenario(seed=i))
+            info = decode_scenario(
+                make_synthetic_scenario(seed=i, rich=args.synthetic_rich)
+            )
             sid = info["scenario_id"]
             with open(os.path.join(args.save_path, f"sample_{sid}.pkl"), "wb") as f:
                 pickle.dump(info, f)

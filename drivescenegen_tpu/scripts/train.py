@@ -106,7 +106,8 @@ def main(argv=None):
 
     n_channels = cfg.model.in_channels + cfg.model.cond_channels
     dataset = RasterDataset(
-        tcfg.dataset_glob, img_res=cfg.model.sample_size, n_channels=n_channels
+        tcfg.dataset_glob, img_res=cfg.model.sample_size, n_channels=n_channels,
+        cache=tcfg.cache_dataset,
     )
     if len(dataset) < tcfg.batch_size:
         raise SystemExit(
