@@ -30,24 +30,19 @@ logger = get_logger("graph_fit", logging.WARNING)
 
 
 def image_to_graph(img01: np.ndarray, min_distance: int = 4,
-                   skel: Optional[np.ndarray] = None):
+                   skel: Optional[np.ndarray] = None,
+                   mask: Optional[np.ndarray] = None):
     """Color raster (float01 HxWx3) -> (skeleton, MultiGraph). The mask is
     transposed so nodes are (x, y) = (col, row), matching the reference
     (image_to_polylines.py:18-21; white-pixel mask there, histogram mask
-    here via get_lane_mask — identical once get_gray_image is applied)."""
-    mask = image_utils.get_lane_mask(img01).T
-    return network.extract_network(mask.astype(np.uint8), min_distance, skel=skel)
-
-
-def _pixel_color(img01: np.ndarray, point) -> Tuple[float, float]:
-    """PIL getpixel((x, y)) equivalent on a float01 array; returns the
-    decoded (dx, dy) color deltas in 0-255 space (image_to_polylines.py:33)."""
-    H, W = img01.shape[:2]
-    x = min(max(int(point[0]), 0), W - 1)
-    y = min(max(int(point[1]), 0), H - 1)
-    r = img01[y, x, 0] * 255.0
-    g = img01[y, x, 1] * 255.0
-    return r - 128.0, 128.0 - g
+    here via get_lane_mask — identical once get_gray_image is applied).
+    `mask` short-circuits the histogram pass when the caller already has it
+    (HxW, un-transposed)."""
+    if mask is None:
+        mask = image_utils.get_lane_mask(img01)
+    return network.extract_network(
+        mask.T.astype(np.uint8), min_distance, skel=skel
+    )
 
 
 def determine_node_direction(graph: nx.Graph, img01: np.ndarray, n1, n2):
@@ -60,13 +55,18 @@ def determine_node_direction(graph: nx.Graph, img01: np.ndarray, n1, n2):
         path, local_length=20
     )
 
-    dx_sum = 0.0
-    dy_sum = 0.0
-    for point in e["path"]:
-        dx, dy = _pixel_color(img01, point)
-        cdx, cdy = graph_utils.normalize_dx_dy(dx, dy)
-        dx_sum += cdx
-        dy_sum += cdy
+    # Sum of unit color-flow vectors along the path (vectorized equivalent
+    # of per-pixel _pixel_color + normalize_dx_dy).
+    H, W = img01.shape[:2]
+    pts = np.asarray(e["path"], np.int64)
+    xs = np.clip(pts[:, 0], 0, W - 1)
+    ys = np.clip(pts[:, 1], 0, H - 1)
+    dxs = img01[ys, xs, 0] * 255.0 - 128.0
+    dys = 128.0 - img01[ys, xs, 1] * 255.0
+    norms = np.hypot(dxs, dys)
+    nz = norms > 0
+    dx_sum = float((dxs[nz] / norms[nz]).sum())
+    dy_sum = float((dys[nz] / norms[nz]).sum())
     color_angle = np.arctan2(dy_sum, dx_sum)
 
     angle_diff = np.fabs(
@@ -552,7 +552,9 @@ def extract_polylines_from_img(
         )
         return None, None
 
-    skel_arr, graph = image_to_graph(img01, min_distance=min_distance, skel=skel)
+    skel_arr, graph = image_to_graph(
+        img01, min_distance=min_distance, skel=skel, mask=mask
+    )
 
     if graph.number_of_nodes() < 2 or graph.number_of_edges() < 1:
         logger.warning("Failed to extract graph from image")

@@ -176,9 +176,34 @@ def connect_graph(
     (extract_network.py:238-261). Each merge re-floods the skeleton, so a
     degenerate (noise-dense) skeleton with thousands of junctions would
     grind for minutes — max_merge_iters bounds that; real rasters converge
-    in a handful of merges."""
+    in a handful of merges.
+
+    The flood+merge loop runs in C++ when native/libdsg_graph.so is
+    available (exact same algorithm, ~100x faster); this Python loop is
+    the fallback and the parity reference (tests/test_native_graph.py)."""
     nodes = detect_nodes(skel)
     nodes = add_dense_nodes(nodes, find_dense_skeleton_nodes(skel))
+
+    from drivescenegen_tpu.vectorize import native_graph
+
+    if native_graph.available():
+        paths, iters = native_graph.connect_paths(
+            skel, nodes, min_distance, max_merge_iters
+        )
+        if iters >= max_merge_iters:
+            import logging
+
+            logging.getLogger("network").warning(
+                f"connect_graph merge cap ({max_merge_iters}) exhausted; graph "
+                f"may retain edges shorter than {min_distance}px"
+            )
+        g = nx.MultiGraph()
+        for path in paths:
+            endpoints = (path[0], path[-1])
+            start, stop = min(endpoints), max(endpoints)
+            g.add_edge(start, stop, path=path, d=len(path) - 1)
+        return g
+
     edges = find_paths(skel, nodes, min_distance)
 
     changed = True
