@@ -1,10 +1,13 @@
 """Agent decoder: generated raster B channel -> vehicle list
 (reference: vectorization/direct/extract_vehicles.py).
 
-Blue channel -> threshold -> contours -> min-area rectangles; physical size
-gates (reject < 4.0 x 1.75 m, clamp to 5.0 x 2.2 m); speed decoded from the
-blue intensity deviation x 60; heading snapped to the nearest lane within
-dist_thresh with speed clamped to [min_speed, max_speed], else v = 0.
+Blue channel -> threshold -> connected components -> min-area rectangles
+(own convex hull + rotating calipers, replacing the reference's OpenCV
+findContours/minAreaRect at extract_vehicles.py:145-151 — no cv2 import);
+physical size gates (reject < 4.0 x 1.75 m, clamp to 5.0 x 2.2 m); speed
+decoded from the blue intensity deviation x 60; heading snapped to the
+nearest lane within dist_thresh with speed clamped to
+[min_speed, max_speed], else v = 0.
 """
 
 from __future__ import annotations
@@ -12,10 +15,84 @@ from __future__ import annotations
 import math
 from typing import List, Optional
 
-import cv2
 import numpy as np
 
 from drivescenegen_tpu.vectorize.graph_utils import normalize_angle_rad
+
+
+# ---------------------------------------------------------------------------
+# Box fitting: connected components + convex hull + rotating calipers
+# ---------------------------------------------------------------------------
+
+def connected_components(mask: np.ndarray) -> List[np.ndarray]:
+    """8-connected foreground components as (N, 2) pixel-center (x, y)
+    arrays (the role of cv2.findContours RETR_LIST)."""
+    from scipy import ndimage as ndi
+
+    lab, n = ndi.label(mask, structure=np.ones((3, 3), np.int32))
+    out = []
+    for i, sl in enumerate(ndi.find_objects(lab), start=1):
+        ys, xs = np.nonzero(lab[sl] == i)
+        out.append(
+            np.stack([xs + sl[1].start, ys + sl[0].start], axis=1).astype(np.float64)
+        )
+    return out
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; pts (N, 2) -> CCW hull vertices."""
+    pts = np.unique(pts, axis=0)  # lexicographically sorted unique rows
+    if len(pts) <= 2:
+        return pts
+
+    def chain(points):
+        h: list = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = chain(pts)
+    upper = chain(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(pts: np.ndarray):
+    """Minimum-area enclosing rectangle of a point set (the role of
+    cv2.minAreaRect). Returns (cx, cy, long_side, short_side, yaw) with
+    yaw = orientation of the LONG axis in pixel coords (x right, y down)."""
+    hull = _convex_hull(np.asarray(pts, np.float64))
+    if len(hull) == 1:
+        return float(hull[0, 0]), float(hull[0, 1]), 0.0, 0.0, 0.0
+    if len(hull) == 2:
+        d = hull[1] - hull[0]
+        c = (hull[0] + hull[1]) / 2.0
+        return (
+            float(c[0]), float(c[1]), float(np.hypot(d[0], d[1])), 0.0,
+            float(np.arctan2(d[1], d[0])),
+        )
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    u = edges[lens > 0] / lens[lens > 0, None]  # (E, 2) edge directions
+    v = np.stack([-u[:, 1], u[:, 0]], axis=1)  # perpendiculars
+    pu = hull @ u.T  # (N, E) projections
+    pv = hull @ v.T
+    du = pu.max(axis=0) - pu.min(axis=0)
+    dv = pv.max(axis=0) - pv.min(axis=0)
+    i = int(np.argmin(du * dv))
+    cu = (pu[:, i].max() + pu[:, i].min()) / 2.0
+    cv_ = (pv[:, i].max() + pv[:, i].min()) / 2.0
+    center = cu * u[i] + cv_ * v[i]
+    if du[i] >= dv[i]:
+        return (
+            float(center[0]), float(center[1]), float(du[i]), float(dv[i]),
+            float(np.arctan2(u[i, 1], u[i, 0])),
+        )
+    return (
+        float(center[0]), float(center[1]), float(dv[i]), float(du[i]),
+        float(np.arctan2(v[i, 1], v[i, 0])),
+    )
 
 
 from drivescenegen_tpu.vectorize.image_utils import channel_background_modes
@@ -89,18 +166,16 @@ def extract_agents(
     lanes = lanes or []
 
     blue = (img01[..., 2] * 255).astype(np.uint8)
-    _, thresh = cv2.threshold(blue, 100, 255, 0)
-    contours, _ = cv2.findContours(thresh, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    thresh = blue > 100  # cv2.threshold(.., 100, 255, BINARY) equivalent
 
     modes = get_image_histogram(img01)  # constant per image; hoisted
     vehicles = []
-    for cnt in contours:
-        (cx, cy), (length, width), angle = cv2.minAreaRect(cnt)
-        if width < length:
-            yaw = normalize_angle_rad(math.radians(angle) + math.pi)
-        else:
-            yaw = normalize_angle_rad(math.radians(angle) + math.pi / 2)
-            width, length = length, width
+    for pts in connected_components(thresh):
+        cx, cy, length, width, long_yaw = min_area_rect(pts)
+        # min_area_rect already returns long >= short with the long-axis
+        # yaw; the reference's aspect disambiguation (extract_vehicles.py:
+        # 154-158) reduces to the same +pi offset.
+        yaw = normalize_angle_rad(long_yaw + math.pi)
 
         if length < 4.0 / map_scale or width < 1.75 / map_scale:
             continue

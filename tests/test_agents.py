@@ -83,3 +83,92 @@ def test_speed_decode_roundtrip():
     agents = extract_agents(img, _lane_through(), map_range=80.0)
     v = np.hypot(agents[0][7], agents[0][8])
     assert 2.0 <= v <= 10.0
+
+
+# ---------------------------------------------------------------------------
+# Parity vs OpenCV (the library the reference uses, extract_vehicles.py:
+# 145-151). cv2 is NOT imported by the package anymore; it is only a test
+# oracle here.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from drivescenegen_tpu.vectorize.agents import connected_components, min_area_rect
+
+
+def _rotated_box_raster(cx, cy, l_px, w_px, yaw, blue=0.62, res=256):
+    img = np.zeros((res, res, 3), np.float32)
+    img[..., :2] = 0.5
+    yy, xx = np.mgrid[0:res, 0:res]
+    dx, dy = xx - cx, yy - cy
+    u = dx * np.cos(yaw) + dy * np.sin(yaw)
+    v = -dx * np.sin(yaw) + dy * np.cos(yaw)
+    img[(np.abs(u) <= l_px / 2) & (np.abs(v) <= w_px / 2), 2] = blue
+    return img
+
+
+@pytest.mark.parametrize("yaw_deg", [0, 17, 45, 60, 90, 133])
+def test_min_area_rect_matches_cv2(yaw_deg):
+    img = _rotated_box_raster(120.0, 140.0, 18, 8, np.radians(yaw_deg))
+    mask = (img[..., 2] * 255).astype(np.uint8)
+    comps = connected_components(mask > 100)
+    assert len(comps) == 1
+    cx, cy, length, width, _ = min_area_rect(comps[0])
+
+    _, thr = cv2.threshold(mask, 100, 255, 0)
+    contours, _ = cv2.findContours(thr, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    assert len(contours) == 1
+    (ccx, ccy), (d1, d2), _ = cv2.minAreaRect(contours[0])
+    cl, cw = max(d1, d2), min(d1, d2)
+    assert abs(cx - ccx) <= 1.0 and abs(cy - ccy) <= 1.0
+    assert abs(length - cl) <= 1.5 and abs(width - cw) <= 1.5
+
+
+def test_extract_agents_parity_with_cv2_pipeline():
+    """Full extractor on a multi-agent synthetic raster vs a cv2-based
+    re-implementation of the same box stage: same number of agents, same
+    centers/sizes within a pixel."""
+    import math as m
+
+    from drivescenegen_tpu.vectorize.graph_utils import normalize_angle_rad
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((256, 256, 3), np.float32)
+    img[..., :2] = 0.5
+    placed = []
+    for _ in range(6):
+        cx, cy = rng.uniform(30, 226, 2)
+        if any(np.hypot(cx - a, cy - b) < 40 for a, b in placed):
+            continue
+        placed.append((cx, cy))
+        box = _rotated_box_raster(cx, cy, 17, 8, rng.uniform(0, np.pi))
+        img[..., 2] = np.maximum(img[..., 2], box[..., 2])
+
+    ours = extract_agents(img, [], map_range=80.0)
+
+    # cv2 oracle for the box stage with the same gates.
+    map_scale = 80.0 / 256
+    blue = (img[..., 2] * 255).astype(np.uint8)
+    _, thr = cv2.threshold(blue, 100, 255, 0)
+    contours, _ = cv2.findContours(thr, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    boxes = []
+    for cnt in contours:
+        (ccx, ccy), (d1, d2), _ = cv2.minAreaRect(cnt)
+        length, width = max(d1, d2), min(d1, d2)
+        if length < 4.0 / map_scale or width < 1.75 / map_scale:
+            continue
+        boxes.append((ccx, ccy, min(length, 5.0 / map_scale), min(width, 2.2 / map_scale)))
+
+    assert len(ours) == len(boxes) == len(placed)
+    # Match by world-converted center.
+    map_center = (256 / 2 * map_scale, 256 / 2 * map_scale)
+    for ccx, ccy, cl, cw in boxes:
+        wx = ccx * map_scale - map_center[0]
+        wy = map_center[1] - ccy * map_scale
+        d = [np.hypot(a[0] - wx, a[1] - wy) for a in ours]
+        a = ours[int(np.argmin(d))]
+        assert min(d) < 0.5
+        assert abs(a[3] - cl * map_scale) < 0.5
+        assert abs(a[4] - cw * map_scale) < 0.5
