@@ -88,7 +88,19 @@ def main(argv=None):
         "frechet": {n: float(f) for n, f in zip(map_metrics.STATS_NAMES, fds)},
         "mmd_degrees": float(mmd_deg),
         "mmd_spectrum": float(mmd_spec),
+        # Survivorship accounting (VERDICT r1 item 7): graphs entering the
+        # pool vs samples rejected/failed upstream in vectorization, so
+        # parity numbers can't silently hide selection bias.
+        "n_gt_graphs": len(glob.glob(os.path.join(args.gt_dir, "graph", "*"))),
+        "n_gen_graphs": len(glob.glob(os.path.join(args.gen_dir, "graph", "*"))),
     }
+    vstats_path = os.path.join(args.gen_dir, "vectorization_stats.json")
+    if os.path.exists(vstats_path):
+        with open(vstats_path) as f:
+            vstats = json.load(f)
+        result["n_gen_images"] = vstats.get("n_images")
+        result["n_rejected"] = vstats.get("n_rejected")
+        result["n_failed"] = vstats.get("n_failed")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(result, f, indent=2)

@@ -146,10 +146,15 @@ def _worker(jobs, cfg_v, dirs, proc_id):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    import json
+
     import torch
     from PIL import Image
 
     vectorized_dir, picture_dir, graph_dir, agent_dir = dirs
+    # Rejection accounting (VERDICT r1 item 7): metrics downstream must be
+    # able to report how many samples never entered the pool.
+    counts = {"n_ok": 0, "n_rejected": 0, "n_failed": 0}
     for img_id, path, skel in jobs:
         try:
             img = Image.open(path).convert("RGB")
@@ -181,9 +186,15 @@ def _worker(jobs, cfg_v, dirs, proc_id):
                     "lane": lanes,
                 }
                 torch.save(output_dict, os.path.join(vectorized_dir, f"{img_id}.pkl"))
+            counts["n_ok" if lanes is not None else "n_rejected"] += 1
         except Exception as e:
             logger.warning(f"File no. {img_id} failed to be vectorized due to {e}")
+            counts["n_failed"] += 1
             continue
+    stats_dir = os.path.join(os.path.dirname(vectorized_dir.rstrip("/")), "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(os.path.join(stats_dir, f"worker_{proc_id}.json"), "w") as f:
+        json.dump(counts, f)
 
 
 def main(argv=None):
@@ -211,6 +222,9 @@ def main(argv=None):
     agent_dir = os.path.join(outputs_dir, "agent")
     for d in (vectorized_dir, picture_dir, graph_dir, agent_dir):
         os.makedirs(d, exist_ok=True)
+    # Clear stale per-worker accounting from a previous run of this dir.
+    for sf in glob.glob(os.path.join(outputs_dir, "stats", "worker_*.json")):
+        os.remove(sf)
 
     all_files = sorted(glob.glob(os.path.join(input_dir, "*.png")))
     if args.limit:
@@ -264,9 +278,26 @@ def main(argv=None):
 
     dt = time.perf_counter() - t0
     n = len(glob.glob(os.path.join(graph_dir, "*")))
+
+    # Aggregate the per-worker rejection accounting into one JSON so metrics
+    # consumers can see survivorship (VERDICT r1 item 7).
+    import json
+
+    totals = {"n_images": len(all_files), "n_ok": 0, "n_rejected": 0, "n_failed": 0}
+    for sf in glob.glob(os.path.join(outputs_dir, "stats", "worker_*.json")):
+        with open(sf) as f:
+            c = json.load(f)
+        for k in ("n_ok", "n_rejected", "n_failed"):
+            totals[k] += c.get(k, 0)
+    totals["wall_time_s"] = round(dt, 1)
+    with open(os.path.join(outputs_dir, "vectorization_stats.json"), "w") as f:
+        json.dump(totals, f, indent=2)
+
     print(
         f"Vectorized {n}/{len(all_files)} scenarios in {dt:.1f}s "
-        f"({len(all_files)/dt:.2f} scenes/s) -> {outputs_dir}"
+        f"({len(all_files)/dt:.2f} scenes/s) -> {outputs_dir} "
+        f"[ok {totals['n_ok']}, rejected {totals['n_rejected']}, "
+        f"failed {totals['n_failed']}]"
     )
 
 
