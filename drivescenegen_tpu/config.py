@@ -40,6 +40,11 @@ class RasterConfig:
     interp_k: int = 8  # splat samples per polyline segment
     agent_time_index: int = 1  # reference draws agents at t=1 (visualization.py:192)
     mode: str = "dxdy_agents"  # or "occupancy": 1-channel map-only (config-1)
+    # Also save the padded vector-map tensor per scenario (the reference's
+    # save_png_polys branch, rasterization.py:13,129-151 -> data/vector_map.py).
+    save_vector_tensor: bool = False
+    vector_tensor_rows: int = 256
+    vector_tensor_cols: int = 256
 
 
 @dataclass

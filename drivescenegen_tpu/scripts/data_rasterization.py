@@ -23,7 +23,7 @@ from drivescenegen_tpu.config import load_config
 from drivescenegen_tpu.utils.io import split_round_robin
 
 
-def _worker(files, cfg_raster, out_dir, proc_id):
+def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None):
     # Keep worker processes off the TPU: the splat kernels are tiny and the
     # per-process TPU runtime would serialize on the single chip.
     import jax
@@ -57,6 +57,23 @@ def _worker(files, cfg_raster, out_dir, proc_id):
             if arr.shape[-1] == 1:
                 arr = arr[..., 0]  # occupancy mode saves grayscale
             Image.fromarray(arr).save(os.path.join(out_dir, f"{proc_id}_{i}.png"))
+            if vec_dir is not None:
+                # Reference save_png_polys branch (rasterization.py:129-151):
+                # padded (rows, cols, 8) vector tensor beside the raster.
+                from drivescenegen_tpu.data.vector_map import (
+                    vector_to_same_size_tensor,
+                )
+
+                tensor, too_less = vector_to_same_size_tensor(
+                    scenario_info,
+                    des_column_size=cfg_raster.vector_tensor_cols,
+                    des_row_size=cfg_raster.vector_tensor_rows,
+                    map_range=cfg_raster.map_range,
+                )
+                if not too_less:
+                    np.save(
+                        os.path.join(vec_dir, f"{proc_id}_{i}_vector.npy"), tensor
+                    )
         except Exception as e:  # skip-and-log, like the reference's workers
             print(f"[worker {proc_id}] {path}: {type(e).__name__}: {e}")
 
@@ -67,6 +84,9 @@ def main():
     parser.add_argument("--save_path", default="./data/rasterized/", type=str)
     parser.add_argument("--cfg_file", default=None, type=str)
     parser.add_argument("--n_workers", default=8, type=int)
+    parser.add_argument("--save_vector_tensor", action="store_true",
+                        help="also save the padded vector-map tensor per "
+                             "scenario (reference save_png_polys branch)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg_file)
@@ -75,6 +95,10 @@ def main():
         args.save_path, f"GT_70k_s{int(raster.map_range)}_dxdy_agents_img"
     )
     os.makedirs(out_dir, exist_ok=True)
+    vec_dir = None
+    if args.save_vector_tensor or raster.save_vector_tensor:
+        vec_dir = os.path.join(args.save_path, "vector_tensor")
+        os.makedirs(vec_dir, exist_ok=True)
 
     all_files = sorted(glob.glob(os.path.join(args.load_path, "sample_*.pkl")))
     if not all_files:
@@ -83,12 +107,14 @@ def main():
     t0 = time.perf_counter()
     n_workers = max(1, min(args.n_workers, len(all_files)))
     if n_workers == 1:
-        _worker(all_files, raster, out_dir, 0)
+        _worker(all_files, raster, out_dir, 0, vec_dir)
     else:
         shards = split_round_robin(all_files, n_workers)
         procs = []
         for pid, shard in enumerate(shards):
-            p = multiprocessing.Process(target=_worker, args=(shard, raster, out_dir, pid))
+            p = multiprocessing.Process(
+                target=_worker, args=(shard, raster, out_dir, pid, vec_dir)
+            )
             p.start()
             procs.append(p)
         for p in procs:
