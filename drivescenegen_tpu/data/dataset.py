@@ -43,31 +43,52 @@ def load_image(path: str, img_res: int = 256, n_channels: int = 3) -> np.ndarray
 class RasterDataset:
     """Glob-based image dataset, normalized to [-1, 1].
 
-    cache=True memoizes decoded images in RAM as float16 (a 24k-image
-    256x256x3 set is ~9 GB) so multi-epoch training doesn't re-decode
-    PNGs on every pass — this host has few cores and the decode would
-    otherwise starve the device."""
+    cache=True memoizes decoded images in RAM so multi-epoch training
+    doesn't re-decode PNGs on every pass — this host has few cores and the
+    decode would otherwise starve the device.
+
+    raw="auto"/True yields uint8 [0, 255] samples instead of normalized
+    float32; the train step normalizes ON DEVICE ((x/127.5) - 1, exactly
+    equal for 8-bit sources). This shrinks the host->device batch transfer
+    4x — decisive when the device link is a narrow tunnel (measured ~20
+    MB/s on the axon backend: a float32 batch costs more wall time than
+    the train step it feeds). "auto" enables raw iff every source file is
+    a PNG (8-bit), so float .npy datasets keep full precision."""
 
     def __init__(self, pattern: str, img_res: int = 256, n_channels: int = 3,
-                 cache: bool = False):
+                 cache: bool = False, raw=False):
         self.files: Sequence[str] = sorted(glob.glob(pattern))
         if not self.files:
             raise FileNotFoundError(f"no files match {pattern!r}")
         self.img_res = img_res
         self.n_channels = n_channels
+        if raw == "auto":
+            raw = all(f.lower().endswith(".png") for f in self.files)
+        self.raw = bool(raw)
         self._cache: Optional[list] = [None] * len(self.files) if cache else None
 
     def __len__(self) -> int:
         return len(self.files)
 
+    def _load(self, idx: int) -> np.ndarray:
+        x = load_image(self.files[idx], self.img_res, self.n_channels)
+        if self.raw:
+            return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+        return x  # float32 in [0, 1]
+
     def __getitem__(self, idx: int) -> np.ndarray:
-        if self._cache is not None and self._cache[idx] is not None:
-            x = self._cache[idx].astype(np.float32)
+        if self._cache is not None:
+            if self._cache[idx] is None:
+                x = self._load(idx)
+                # float sources cache as float16 (~halves RAM; 10-bit
+                # mantissa >= the 8-bit source precision).
+                self._cache[idx] = x if self.raw else x.astype(np.float16)
+            x = self._cache[idx]
         else:
-            x = load_image(self.files[idx], self.img_res, self.n_channels)
-            if self._cache is not None:
-                self._cache[idx] = x.astype(np.float16)
-        return (x - 0.5) / 0.5
+            x = self._load(idx)
+        if self.raw:
+            return x  # uint8; normalization happens on device
+        return (x.astype(np.float32) - 0.5) / 0.5
 
 
 def batch_iterator(
@@ -102,7 +123,9 @@ def batch_iterator(
                 samples = list(ex.map(dataset.__getitem__, idxs))
         else:
             samples = [dataset[i] for i in idxs]
-        return np.stack(samples).astype(np.float32)
+        out = np.stack(samples)
+        # uint8 passes through untouched (device-side normalization path).
+        return out if out.dtype == np.uint8 else out.astype(np.float32)
 
     def worker():
         try:

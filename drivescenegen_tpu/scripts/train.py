@@ -105,9 +105,11 @@ def main(argv=None):
     logger.info(f"mesh: {dict(mesh.shape)} on {jax.devices()[0].platform}")
 
     n_channels = cfg.model.in_channels + cfg.model.cond_channels
+    # raw="auto": PNG datasets transfer as uint8 and normalize on device
+    # (4x less host->device traffic; decisive on narrow device links).
     dataset = RasterDataset(
         tcfg.dataset_glob, img_res=cfg.model.sample_size, n_channels=n_channels,
-        cache=tcfg.cache_dataset,
+        cache=tcfg.cache_dataset, raw="auto",
     )
     if len(dataset) < tcfg.batch_size:
         raise SystemExit(

@@ -95,6 +95,10 @@ def make_train_step(
     use_dropout = model.cfg.dropout > 0.0
 
     def train_step(state: TrainState, batch: jax.Array, key: jax.Array):
+        if batch.dtype == jnp.uint8:
+            # Raw 8-bit batch (RasterDataset raw mode): normalize on device,
+            # exactly (x/255 - 0.5)/0.5 for 8-bit sources.
+            batch = batch.astype(jnp.float32) / 127.5 - 1.0
         step_key = jax.random.fold_in(key, state.step)
         noise_key, t_key, drop_key, do_key = jax.random.split(step_key, 4)
 

@@ -59,3 +59,25 @@ def test_prefetch_to_device_shards(png_dir, eight_devices):
     for b in batches:
         assert len(b.sharding.device_set) == 8
         assert {s.data.shape for s in b.addressable_shards} == {(1, 64, 64, 3)}
+
+
+def test_dataset_raw_uint8_path(png_dir):
+    """raw mode: uint8 pass-through whose device-side normalization
+    (x/127.5 - 1) equals the float path exactly for 8-bit sources."""
+    ds_raw = RasterDataset(str(png_dir / "*.png"), img_res=64, raw="auto")
+    ds_f32 = RasterDataset(str(png_dir / "*.png"), img_res=64)
+    assert ds_raw.raw is True
+    x8 = ds_raw[0]
+    assert x8.dtype == np.uint8
+    np.testing.assert_allclose(
+        x8.astype(np.float32) / 127.5 - 1.0, ds_f32[0], atol=1e-6
+    )
+
+
+def test_batch_iterator_preserves_uint8(png_dir):
+    from drivescenegen_tpu.data.dataset import batch_iterator
+
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw=True, cache=True)
+    it = batch_iterator(ds, batch_size=4, num_epochs=1)
+    b = next(it)
+    assert b.dtype == np.uint8 and b.shape == (4, 64, 64, 3)
