@@ -213,6 +213,19 @@ def agent_boxes_from_tracks(
     return out
 
 
+def _bucket(n: int, cap: int, floor: int = 32) -> int:
+    """Smallest power-of-two budget >= n (clamped to [floor, cap]).
+
+    Padding to a fixed cap makes every scenario pay the worst case (512
+    polyline chunks when typical scenes have ~20-60); bucketing keeps jit
+    shapes to a handful of cached compiles while the splat work tracks the
+    actual scene size — ~10x on the 24k-scene dataset build."""
+    b = floor
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
 def rasterize_scenario(
     scenario_info: dict,
     img_res: int = 256,
@@ -261,7 +274,9 @@ def rasterize_scenario(
     if feats.shape[0]:
         feats = mp.transform_scenario(feats, ego10)
         feats = mp.dxdy_normalization(feats, feature_max=color_max)
-    feats, masks = mp.pad_polylines(feats, masks, max_polylines)
+    feats, masks = mp.pad_polylines(
+        feats, masks, _bucket(feats.shape[0] if feats.size else 0, max_polylines)
+    )
 
     rg = rasterize_lane_channels(
         jnp.asarray(feats),
@@ -291,6 +306,8 @@ def rasterize_scenario(
     trajs_shifted = trajs.copy()
     trajs_shifted[:, :, 0:2] -= ego_t[None, None, :]
     boxes = agent_boxes_from_tracks(trajs_shifted, max_agents, agent_time_index)
+    # Valid boxes are packed at the front; bucket the agent budget too.
+    boxes = boxes[: _bucket(int(boxes[:, 6].sum()), max_agents, floor=8)]
 
     # Gate lines: the reference uses only full-100-point lane chunks
     # (rasterization.py:102-110) in the LANE frame (ego@10).

@@ -5,10 +5,13 @@ Design: a 2-D mesh ("data", "model").
 
 - "data": batch sharding for DP training and batch-parallel sampling;
   gradient all-reduce becomes an XLA psum over ICI.
-- "model": tensor-parallel axis for the UNet's widest tensors (mid-block
-  attention qkv/out and the time-embedding MLP). The model comfortably fits
-  one chip, so "model" defaults to 1, but the axis is wired end-to-end so
-  tp>1 compiles and runs (validated by __graft_entry__.dryrun_multichip).
+- "model": tensor-parallel axis covering the UNet's FLOP/param bulk: every
+  ResnetBlock's conv1/conv2 pair (Megatron column/row split on the channel
+  dims, one psum per block), the 1x1 shortcuts, the mid-block attention
+  qkv/out, and the time-embedding MLP. The model comfortably fits one chip,
+  so "model" defaults to 1, but the axis is wired end-to-end so tp>1
+  compiles and runs (validated by __graft_entry__.dryrun_multichip and the
+  sharded==unsharded numerics tests in tests/test_mesh.py).
 
 All collectives are inserted by XLA from sharding annotations — there are
 no hand-written collective calls on the training path.
@@ -56,10 +59,21 @@ def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
 
 # Tensor-parallel rules: (param-path regex, partition spec builder).
 # Param paths are "/"-joined flax param names; kernels are (in, out) for
-# Dense and (kh, kw, in, out) for Conv. Column-parallel layers (qkv, MLP up)
-# shard the output dim; row-parallel layers (attn out, MLP down) shard the
-# input dim so that XLA inserts a psum right after, mirroring the classic
-# Megatron pattern — but expressed purely as shardings.
+# Dense and (kh, kw, in, out) for Conv. Column-parallel layers (qkv, MLP up,
+# resnet conv1) shard the output dim; row-parallel layers (attn out, MLP
+# down, resnet conv2/shortcut) shard the input dim so that XLA inserts a
+# psum right after, mirroring the classic Megatron pattern — but expressed
+# purely as shardings.
+#
+# Conv TP (the bulk of params and FLOPs): inside every ResnetBlock the
+# conv1 -> norm2 -> conv2 chain runs channel-sharded. conv1 is column-
+# parallel (HWIO kernel sharded on O), so its activation is sharded on the
+# channel dim; time_proj and the norm2 scale/bias shard the same way so the
+# add/normalize stay local (GroupNorm groups never straddle shards: shard
+# width C/tp is a multiple of the group width C/32 whenever 32 % tp == 0);
+# conv2 and the 1x1 shortcut are row-parallel (sharded on I), after which
+# XLA inserts one psum per block. conv_in/conv_out/down/upsample convs stay
+# replicated (<2% of FLOPs, awkward channel counts).
 DEFAULT_TP_RULES: List[Tuple[str, object]] = [
     # Mid-block attention: fused qkv projection -> column parallel.
     (r"attn.*/(query|key|value|qkv)/kernel$", lambda nd: P(*([None] * (nd - 1)), "model")),
@@ -70,6 +84,15 @@ DEFAULT_TP_RULES: List[Tuple[str, object]] = [
     (r"time_mlp/dense1/kernel$", lambda nd: P(*([None] * (nd - 1)), "model")),
     (r"time_mlp/dense1/bias$", lambda nd: P("model")),
     (r"time_mlp/dense2/kernel$", lambda nd: P(*([None] * (nd - 2)), "model", None)),
+    # ResnetBlock conv pair: conv1 column-parallel ...
+    (r"res_\d+/conv1/kernel$", lambda nd: P(*([None] * (nd - 1)), "model")),
+    (r"res_\d+/conv1/bias$", lambda nd: P("model")),
+    (r"res_\d+/time_proj/kernel$", lambda nd: P(None, "model")),
+    (r"res_\d+/time_proj/bias$", lambda nd: P("model")),
+    (r"res_\d+/norm2/(scale|bias)$", lambda nd: P("model")),
+    # ... conv2 and shortcut row-parallel (psum after).
+    (r"res_\d+/conv2/kernel$", lambda nd: P(*([None] * (nd - 2)), "model", None)),
+    (r"res_\d+/shortcut/kernel$", lambda nd: P(*([None] * (nd - 2)), "model", None)),
 ]
 
 

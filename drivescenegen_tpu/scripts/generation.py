@@ -30,6 +30,38 @@ from drivescenegen_tpu.utils.logging import get_logger
 logger = get_logger("generation")
 
 
+def load_model_for_sampling(cfg, model_dir: str):
+    """Build the UNet + schedule and restore exported weights.
+
+    The model/diffusion config sections are spliced from the config saved
+    alongside the weights (they must match the checkpoint); everything else
+    stays with the caller's cfg. Returns (model, schedule, params); cfg is
+    updated in place. Shared by this CLI and scripts/end_to_end.py."""
+    model_cfg_path = os.path.join(model_dir, "config.yaml")
+    if os.path.exists(model_cfg_path):
+        trained = load_config(model_cfg_path)
+        cfg.model = trained.model
+        cfg.diffusion = trained.diffusion
+    model = UNet2D(cfg.model)
+    schedule = make_schedule(cfg.diffusion)
+
+    res = cfg.model.sample_size
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, res, res, cfg.model.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+        )
+    )
+    try:
+        params = restore_params_only(model_dir, template)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"no exported weights under {model_dir}/params — train first "
+            f"(scripts.train exports them every save_model_epochs)"
+        )
+    return model, schedule, params
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Scene generation")
     parser.add_argument("--cfg_file", default=None, type=str)
@@ -64,34 +96,17 @@ def main(argv=None):
     num_batches = args.num_batches or gcfg.num_batches
     os.makedirs(output_dir, exist_ok=True)
 
-    # Load ONLY the model/diffusion sections from the config saved alongside
-    # the weights (they must match the checkpoint); generation/mesh settings
-    # stay with the CLI config so user overrides are honored.
+    # Splice the trained model config early so CLI validation sees it
+    # (load_model_for_sampling re-splices; it is idempotent).
     model_cfg_path = os.path.join(model_dir, "config.yaml")
     if os.path.exists(model_cfg_path):
         trained = load_config(model_cfg_path)
         cfg.model = trained.model
-        cfg.diffusion = trained.diffusion
-    model = UNet2D(cfg.model)
-    schedule = make_schedule(cfg.diffusion)
-
     if args.cond_dir is not None and cfg.model.cond_channels <= 0:
         raise SystemExit("--cond_dir given but the model has cond_channels=0")
 
+    model, schedule, params = load_model_for_sampling(cfg, model_dir)
     res = cfg.model.sample_size
-    template = jax.eval_shape(
-        lambda: model.init(
-            jax.random.key(0), jnp.zeros((1, res, res, cfg.model.in_channels)),
-            jnp.zeros((1,), jnp.int32),
-        )
-    )
-    try:
-        params = restore_params_only(model_dir, template)
-    except FileNotFoundError:
-        raise SystemExit(
-            f"no exported weights under {model_dir}/params — train first "
-            f"(scripts.train exports them every save_model_epochs)"
-        )
 
     mesh = make_mesh(cfg.mesh)
     n_data = mesh.shape["data"]

@@ -142,56 +142,64 @@ def _batch_skeletonize(files, img_res: int, chunk: int = 64):
     return out
 
 
+def process_one(img_id, path, skel, cfg_v, dirs) -> str:
+    """Vectorize one raster PNG and save its artifacts.
+
+    Returns "ok" | "rejected" | "failed" (the survivorship accounting
+    categories). Shared by the batch workers below and the fused
+    generation+vectorization pipeline (scripts/end_to_end.py)."""
+    import torch
+    from PIL import Image
+
+    vectorized_dir, picture_dir, graph_dir, agent_dir = dirs
+    try:
+        img = Image.open(path).convert("RGB")
+        pic_save_path = (
+            os.path.join(picture_dir, f"{img_id}_process.png") if cfg_v.plot else None
+        )
+        lanes, graph, agents, fig = vectorize(
+            img, method=cfg_v.method, map_range=cfg_v.map_range,
+            plot=cfg_v.plot, pic_save_path=pic_save_path, skel=skel, vcfg=cfg_v,
+        )
+        if fig is not None:
+            fig.savefig(
+                os.path.join(picture_dir, f"{img_id}.png"),
+                transparent=True, format="png",
+            )
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        if graph is not None:
+            with open(os.path.join(graph_dir, f"{img_id}_graph.pickle"), "wb") as f:
+                pickle.dump(graph, f)
+        if agents is not None and lanes is not None:
+            np.save(os.path.join(agent_dir, f"{img_id}_agents.npy"), np.array(agents))
+            output_dict = {
+                "scenario_id": img_id,
+                "sdc_track_index": 0,
+                "object_type": np.ones((len(agents))),
+                "all_agent": agents,
+                "lane": lanes,
+            }
+            torch.save(output_dict, os.path.join(vectorized_dir, f"{img_id}.pkl"))
+        return "ok" if lanes is not None else "rejected"
+    except Exception as e:
+        logger.warning(f"File no. {img_id} failed to be vectorized due to {e}")
+        return "failed"
+
+
 def _worker(jobs, cfg_v, dirs, proc_id):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     import json
 
-    import torch
-    from PIL import Image
-
-    vectorized_dir, picture_dir, graph_dir, agent_dir = dirs
     # Rejection accounting (VERDICT r1 item 7): metrics downstream must be
     # able to report how many samples never entered the pool.
     counts = {"n_ok": 0, "n_rejected": 0, "n_failed": 0}
     for img_id, path, skel in jobs:
-        try:
-            img = Image.open(path).convert("RGB")
-            pic_save_path = (
-                os.path.join(picture_dir, f"{img_id}_process.png") if cfg_v.plot else None
-            )
-            lanes, graph, agents, fig = vectorize(
-                img, method=cfg_v.method, map_range=cfg_v.map_range,
-                plot=cfg_v.plot, pic_save_path=pic_save_path, skel=skel, vcfg=cfg_v,
-            )
-            if fig is not None:
-                fig.savefig(
-                    os.path.join(picture_dir, f"{img_id}.png"),
-                    transparent=True, format="png",
-                )
-                import matplotlib.pyplot as plt
-
-                plt.close(fig)
-            if graph is not None:
-                with open(os.path.join(graph_dir, f"{img_id}_graph.pickle"), "wb") as f:
-                    pickle.dump(graph, f)
-            if agents is not None and lanes is not None:
-                np.save(os.path.join(agent_dir, f"{img_id}_agents.npy"), np.array(agents))
-                output_dict = {
-                    "scenario_id": img_id,
-                    "sdc_track_index": 0,
-                    "object_type": np.ones((len(agents))),
-                    "all_agent": agents,
-                    "lane": lanes,
-                }
-                torch.save(output_dict, os.path.join(vectorized_dir, f"{img_id}.pkl"))
-            counts["n_ok" if lanes is not None else "n_rejected"] += 1
-        except Exception as e:
-            logger.warning(f"File no. {img_id} failed to be vectorized due to {e}")
-            counts["n_failed"] += 1
-            continue
-    stats_dir = os.path.join(os.path.dirname(vectorized_dir.rstrip("/")), "stats")
+        counts[f"n_{process_one(img_id, path, skel, cfg_v, dirs)}"] += 1
+    stats_dir = os.path.join(os.path.dirname(dirs[0].rstrip("/")), "stats")
     os.makedirs(stats_dir, exist_ok=True)
     with open(os.path.join(stats_dir, f"worker_{proc_id}.json"), "w") as f:
         json.dump(counts, f)

@@ -77,3 +77,44 @@ def test_metrics_missing_graphs_errors(tmp_path):
 
     with pytest.raises(SystemExit, match="no graph pickles"):
         compute_map_metrics.main(["--gt_dir", str(tmp_path), "--gen_dir", str(tmp_path)])
+
+
+def test_end_to_end_fused_pipeline(tmp_path):
+    """Train a tiny model for one step, then run the fused sample+vectorize
+    pipeline: PNGs, artifact dirs, and survivorship stats must appear, and
+    n_ok + n_rejected + n_failed must account for every sampled scene."""
+    import glob
+    import json
+
+    from drivescenegen_tpu.scripts import end_to_end, train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  sample_size: 16\n  block_out_channels: [8, 16]\n"
+        "  layers_per_block: 1\n  norm_num_groups: 4\n  attention_head_dim: 8\n"
+        "  dtype: float32\n"
+        f"train:\n  batch_size: 8\n  output_dir: {tmp_path}/out\n"
+        f"  dataset_glob: '{d}/*.png'\n  ema_decay: 0.0\n"
+    )
+    train.main(["--cfg_file", str(cfg), "--max_steps", "1"])
+
+    out = tmp_path / "e2e"
+    end_to_end.main([
+        "--cfg_file", str(cfg), "--model_dir", f"{tmp_path}/out",
+        "--output_dir", str(out), "--num_scenes", "3", "--batch_size", "2",
+        "--steps", "2", "--n_workers", "1",
+    ])
+    assert len(glob.glob(str(out / "diffusion" / "*.png"))) == 3
+    with open(out / "vectorization_stats.json") as f:
+        stats = json.load(f)
+    assert stats["n_images"] == 3
+    assert stats["n_ok"] + stats["n_rejected"] + stats["n_failed"] == 3
+    for sub in ("vectorized", "graph", "agent"):
+        assert (out / sub).is_dir()

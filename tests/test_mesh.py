@@ -47,6 +47,34 @@ def test_param_shardings_tp_rules(eight_devices):
     assert shardings["conv_in"]["kernel"].spec == P()
 
 
+def test_param_shardings_conv_tp_rules(eight_devices):
+    """ResnetBlock convs follow the Megatron column/row split; non-resnet
+    convs stay replicated."""
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params = {
+        "down_0_res_0": {
+            "conv1": {"kernel": jnp.zeros((3, 3, 8, 16)), "bias": jnp.zeros((16,))},
+            "conv2": {"kernel": jnp.zeros((3, 3, 16, 16)), "bias": jnp.zeros((16,))},
+            "time_proj": {"kernel": jnp.zeros((32, 16)), "bias": jnp.zeros((16,))},
+            "norm2": {"scale": jnp.zeros((16,)), "bias": jnp.zeros((16,))},
+            "shortcut": {"kernel": jnp.zeros((1, 1, 8, 16))},
+        },
+        "down_0_downsample": {"conv": {"kernel": jnp.zeros((3, 3, 16, 16))}},
+        "conv_out": {"kernel": jnp.zeros((3, 3, 16, 3))},
+    }
+    s = param_shardings(params, mesh)
+    blk = s["down_0_res_0"]
+    assert blk["conv1"]["kernel"].spec == P(None, None, None, "model")
+    assert blk["conv1"]["bias"].spec == P("model")
+    assert blk["time_proj"]["kernel"].spec == P(None, "model")
+    assert blk["time_proj"]["bias"].spec == P("model")
+    assert blk["norm2"]["scale"].spec == P("model")
+    assert blk["conv2"]["kernel"].spec == P(None, None, "model", None)
+    assert blk["shortcut"]["kernel"].spec == P(None, None, "model", None)
+    assert s["down_0_downsample"]["conv"]["kernel"].spec == P()
+    assert s["conv_out"]["kernel"].spec == P()
+
+
 def test_param_shardings_uneven_falls_back(eight_devices):
     mesh = make_mesh(MeshConfig(data=4, model=2))
     params = {"mid_attn": {"qkv": {"kernel": jnp.zeros((64, 63))}}}  # 63 % 2 != 0

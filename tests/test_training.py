@@ -78,6 +78,29 @@ def test_dp_step_matches_single_device(eight_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tp_step_matches_single_device(eight_devices):
+    """Conv/attention TP shardings (model=2) must not change training
+    numerics: same loss and same updated params as the unsharded step."""
+    _, _, state, step = _setup(batch=8)
+    batch = jax.random.normal(jax.random.key(3), (8, 16, 16, 3))
+    key = jax.random.key(9)
+
+    state_a, metrics_a = jax.jit(step)(state, batch, key)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    shardings = param_shardings(state.params, mesh)
+    state_b0 = state._replace(params=jax.device_put(state.params, shardings))
+    state_b, metrics_b = jax.jit(step)(state_b0, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=2e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_tp_sharded_params_compile_and_run(eight_devices):
     """Tensor-parallel param shardings (model axis = 2) execute a full step."""
     mesh = make_mesh(MeshConfig(data=4, model=2))
