@@ -71,6 +71,14 @@ def main():
     ddim_tput, ddim_dt = _throughput(run_ddim, jax.random.key(1), batch, n_iters=3)
     ddpm_tput, ddpm_dt = _throughput(run_ddpm, jax.random.key(2), batch, n_iters=1)
 
+    # MFU against the v5e bf16 peak (197 TFLOP/s), using the analytic conv/
+    # attention FLOP count cross-checked vs XLA cost analysis in
+    # tests/test_flops.py. Only meaningful on the TPU platform.
+    from drivescenegen_tpu.utils.flops import unet2d_forward_flops
+
+    fwd_flops = unet2d_forward_flops(ModelConfig())
+    mfu = ddim_tput * 50 * fwd_flops / 197e12 if platform == "tpu" else None
+
     result = {
         "metric": f"scenes/sec/chip, 50-step DDIM @ {res}x{res} ({platform})",
         "value": round(ddim_tput / max(n_chips, 1), 4),
@@ -81,6 +89,8 @@ def main():
             "ddpm750_scenes_per_s_per_chip": round(ddpm_tput / max(n_chips, 1), 4),
             "batch": batch,
             "n_chips": n_chips,
+            "fwd_gflops": round(fwd_flops / 1e9, 1),
+            "mfu_pct": round(mfu * 100, 1) if mfu is not None else None,
         },
     }
     print(json.dumps(result))

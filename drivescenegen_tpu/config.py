@@ -116,6 +116,11 @@ class TrainConfig:
     dataset_glob: str = "./data/rasterized/GT_70k_s80_dxdy_agents_img/*"
     checkpoint_max_to_keep: int = 3
     cache_dataset: bool = False  # memoize decoded images in host RAM (float16)
+    # Device-resident dataset: upload the whole uint8 raster set to HBM once
+    # and ship only per-step index arrays (kills the host->device input
+    # bottleneck on narrow links). "auto" enables it when the dataset is raw
+    # uint8 and fits a 6 GB budget; "on"/"off" force it.
+    device_data: str = "auto"
 
 
 @dataclass

@@ -155,6 +155,53 @@ def batch_iterator(
             pass
 
 
+def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
+    """Upload the whole dataset to device HBM as one [N, H, W, C] array.
+
+    The TPU-native answer to a narrow host->device link: a 24k-scene uint8
+    raster set is only ~4.6 GB — it fits beside the model in HBM, so it is
+    transferred ONCE and each train step ships 16 int32 indices instead of a
+    3 MB batch (the measured tunnel sustains only a few MB/s, which capped
+    training at ~2 steps/s host-bound; device-resident data removes the
+    input pipeline entirely). Chunked upload keeps host RAM spikes bounded
+    and logs progress on slow links."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from drivescenegen_tpu.parallel.mesh import replicated
+
+    parts = []
+    t0 = _time.perf_counter()
+    n = len(dataset)
+    for i in range(0, n, chunk):
+        arr = np.stack([dataset[j] for j in range(i, min(i + chunk, n))])
+        parts.append(jax.device_put(arr, replicated(mesh)))
+    data = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    data.block_until_ready()
+    gb = data.size * data.dtype.itemsize / 1e9
+    print(
+        f"dataset_to_device: {n} samples ({gb:.2f} GB, {data.dtype}) "
+        f"in {_time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    return data
+
+
+def index_batches(
+    n: int, batch_size: int, seed: int = 0, drop_remainder: bool = True
+) -> Iterator[np.ndarray]:
+    """Endless per-epoch-shuffled index batches — the exact sample order
+    batch_iterator would produce (same rng stream), as int32 index arrays
+    for the device-resident-data train step."""
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n)
+        end = n - (n % batch_size if drop_remainder else 0)
+        for i in range(0, end, batch_size):
+            yield order[i : i + batch_size].astype(np.int32)
+
+
 def prefetch_to_device(iterator, mesh, depth: int = 2):
     """Keep `depth` batches already transferred (and sharded over the mesh
     "data" axis) ahead of the consumer, overlapping host->HBM DMA with the

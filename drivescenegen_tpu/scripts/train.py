@@ -144,21 +144,49 @@ def main(argv=None):
     if state.ema_params is not None:
         state = state._replace(ema_params=jax.device_put(state.ema_params, shardings))
 
-    step_fn = jax.jit(
-        make_train_step(
-            model, schedule, tx, lr_sched, cond_dropout=tcfg.cond_dropout,
-            ema_decay=tcfg.ema_decay,
-        ),
-        donate_argnums=0,
+    base_step = make_train_step(
+        model, schedule, tx, lr_sched, cond_dropout=tcfg.cond_dropout,
+        ema_decay=tcfg.ema_decay,
     )
     data_key = prng.for_purpose(root, "train")
 
-    from drivescenegen_tpu.data.dataset import prefetch_to_device
-
-    it = prefetch_to_device(
-        batch_iterator(dataset, tcfg.batch_size, seed=tcfg.seed, num_epochs=None),
-        mesh,
+    n_bytes = len(dataset) * cfg.model.sample_size ** 2 * n_channels
+    use_device_data = tcfg.device_data == "on" or (
+        tcfg.device_data == "auto" and dataset.raw and n_bytes <= 6 * 1024 ** 3
     )
+    if use_device_data:
+        # Whole dataset resident in HBM; each step ships only indices. The
+        # gathered batch is constrained back onto the "data" axis so DP
+        # still shards the compute when the mesh is wider than one chip.
+        from drivescenegen_tpu.data.dataset import dataset_to_device, index_batches
+        from drivescenegen_tpu.parallel import batch_sharding
+
+        logger.info(f"uploading dataset to device HBM ({n_bytes / 1e9:.2f} GB)")
+        data_dev = dataset_to_device(dataset, mesh)
+        b_shard = batch_sharding(mesh, 4)
+
+        def _device_data_step(state, data, idxs, key):
+            batch = jnp.take(data, idxs, axis=0)
+            batch = jax.lax.with_sharding_constraint(batch, b_shard)
+            return base_step(state, batch, key)
+
+        step_fn = jax.jit(_device_data_step, donate_argnums=0)
+        idx_it = index_batches(len(dataset), tcfg.batch_size, seed=tcfg.seed)
+
+        def next_step(state, key):
+            return step_fn(state, data_dev, jnp.asarray(next(idx_it)), key)
+    else:
+        step_fn = jax.jit(base_step, donate_argnums=0)
+
+        from drivescenegen_tpu.data.dataset import prefetch_to_device
+
+        it = prefetch_to_device(
+            batch_iterator(dataset, tcfg.batch_size, seed=tcfg.seed, num_epochs=None),
+            mesh,
+        )
+
+        def next_step(state, key):
+            return step_fn(state, next(it), key)
     t_start = time.perf_counter()
     t_last = t_start
     start_step = int(state.step)
@@ -167,8 +195,7 @@ def main(argv=None):
         if args.profile_steps and step_i == start_step + 1:  # skip compile step
             jax.profiler.start_trace(os.path.join(tcfg.output_dir, "trace"))
             profiling = True
-        batch = next(it)
-        state, metrics = step_fn(state, batch, data_key)
+        state, metrics = next_step(state, data_key)
         if profiling and step_i == start_step + args.profile_steps:
             jax.tree.map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()

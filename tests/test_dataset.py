@@ -81,3 +81,35 @@ def test_batch_iterator_preserves_uint8(png_dir):
     it = batch_iterator(ds, batch_size=4, num_epochs=1)
     b = next(it)
     assert b.dtype == np.uint8 and b.shape == (4, 64, 64, 3)
+
+
+def test_index_batches_matches_batch_iterator_order(png_dir):
+    """The device-resident-data path must see the exact sample sequence the
+    host-fed path would (same rng stream), so switching paths mid-training
+    via --resume does not change the data distribution."""
+    from drivescenegen_tpu.data.dataset import batch_iterator, index_batches
+
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw=True)
+    host_it = batch_iterator(ds, batch_size=4, seed=7, num_epochs=2,
+                             num_threads=1)
+    idx_it = index_batches(len(ds), batch_size=4, seed=7)
+    for host_batch in host_it:
+        idxs = next(idx_it)
+        gathered = np.stack([ds[int(i)] for i in idxs])
+        np.testing.assert_array_equal(host_batch, gathered)
+
+
+def test_dataset_to_device_roundtrip(png_dir, eight_devices):
+    """Uploading the dataset to (virtual) devices preserves bytes, and a
+    gather by index equals host-side stacking."""
+    import jax.numpy as jnp
+
+    from drivescenegen_tpu.data.dataset import dataset_to_device
+
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw=True)
+    mesh = make_mesh(MeshConfig())
+    data = dataset_to_device(ds, mesh, chunk=4)  # forces the chunked path
+    assert data.shape == (10, 64, 64, 3) and data.dtype == jnp.uint8
+    got = np.asarray(jnp.take(data, jnp.asarray([3, 0, 7]), axis=0))
+    want = np.stack([ds[3], ds[0], ds[7]])
+    np.testing.assert_array_equal(got, want)
