@@ -42,18 +42,33 @@ from drivescenegen_tpu.utils.logging import MetricWriter, get_logger
 logger = get_logger("train")
 
 
+# Eval-sampler jit cache: params flow in as an ARGUMENT so every epoch's
+# EMA weights reuse one traced/compiled executable instead of retracing the
+# whole 50/750-step scan per eval (tracing alone costs tens of seconds on a
+# small host). Keyed by model identity + sampler settings; the model object
+# lives for the whole training process.
+_SAMPLE_FN_CACHE: dict = {}
+
+
 def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
                       sampler: str = "ddpm", steps: int = 750) -> str:
     """Per-epoch eval sample (reference: training_pipeline.py:16-43)."""
     from PIL import Image
 
-    def denoise(x, t):
-        return model.apply(params, x, t)
-
     shape = (1, cfg.model.sample_size, cfg.model.sample_size, cfg.model.out_channels)
+    cache_key = (id(model), sampler, steps, shape)
+    if cache_key not in _SAMPLE_FN_CACHE:
+        fn = ddpm_sample if sampler == "ddpm" else ddim_sample
+
+        def run(params, k):
+            def denoise(x, t):
+                return model.apply(params, x, t)
+
+            return fn(denoise, schedule, shape, k, steps)
+
+        _SAMPLE_FN_CACHE[cache_key] = jax.jit(run)
     key = jax.random.key(seed)
-    fn = ddpm_sample if sampler == "ddpm" else ddim_sample
-    img = np.asarray(jax.jit(lambda k: fn(denoise, schedule, shape, k, steps))(key))
+    img = np.asarray(_SAMPLE_FN_CACHE[cache_key](params, key))
     img01 = np.clip(img[0] / 2 + 0.5, 0, 1)
     os.makedirs(out_dir, exist_ok=True)
     count = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
