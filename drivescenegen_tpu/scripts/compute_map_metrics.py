@@ -60,6 +60,10 @@ def main(argv=None):
     parser.add_argument("--num_samples", default=None, type=int)
     parser.add_argument("--refresh", action="store_true")
     parser.add_argument("--json_out", default=None, type=str)
+    parser.add_argument("--gen_world_frame", action="store_true",
+                        help="gen graphs are already in world metres (e.g. a "
+                             "held-out GT split used as a noise-floor "
+                             "baseline); skip the pixel->world transform")
     args = parser.parse_args(argv)
 
     from drivescenegen_tpu.config import load_config
@@ -77,7 +81,10 @@ def main(argv=None):
         args.gt_dir, args.num_samples, None, None, args.refresh
     )
     gen_stats, gen_degrees, gen_spectrum = _side_stats(
-        args.gen_dir, args.num_samples, args.map_range, args.map_res, args.refresh
+        args.gen_dir, args.num_samples,
+        None if args.gen_world_frame else args.map_range,
+        None if args.gen_world_frame else args.map_res,
+        args.refresh,
     )
 
     fds, mmd_deg, mmd_spec = map_metrics.compute_map_metrics(
