@@ -80,6 +80,53 @@ def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
     return path
 
 
+def supervise(cmd, retries: int, health_check, sleep_s: float = 60.0,
+              max_wait_s: float = 7200.0) -> int:
+    """Failure-recovery wrapper: run `cmd` (a subprocess argv list), and on a
+    non-zero exit — e.g. the remote TPU worker crashing mid-run — wait until
+    `health_check()` reports the device is back, then relaunch. The trainer's
+    full-state checkpoints make each relaunch a true resume, so an infra
+    fault costs at most the steps since the last save (SURVEY.md §5,
+    failure detection/recovery). Returns the final exit code."""
+    import subprocess
+    import time as _time
+
+    attempt = 0
+    while True:
+        rc = subprocess.call(cmd)
+        if rc == 0 or attempt >= retries:
+            return rc
+        attempt += 1
+        logger.warning(
+            f"training attempt {attempt}/{retries} exited rc={rc}; "
+            f"waiting for device health before resuming"
+        )
+        waited = 0.0
+        while waited < max_wait_s and not health_check():
+            _time.sleep(sleep_s)
+            waited += sleep_s
+        if waited >= max_wait_s:
+            logger.error("device never came back; giving up")
+            return rc
+
+
+def _device_healthy(timeout_s: float = 180.0) -> bool:
+    """Probe the default backend in a THROWAWAY subprocess (a hung tunnel
+    blocks jax.devices() forever in-process; a child can be killed)."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.ones((8, 8)).sum().block_until_ready()")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="DDPM training")
     parser.add_argument("--cfg_file", default=None, type=str)
@@ -90,7 +137,33 @@ def main(argv=None):
                         help="cap total optimizer steps (0 = epochs * steps/epoch)")
     parser.add_argument("--profile_steps", default=0, type=int,
                         help="capture a jax.profiler trace for the first N steps")
+    parser.add_argument("--supervise", default=0, type=int, metavar="N",
+                        help="run the trainer as a supervised subprocess and "
+                             "auto-resume up to N times after infra crashes "
+                             "(waits for device health between attempts)")
     args = parser.parse_args(argv)
+
+    if args.supervise > 0:
+        import sys
+
+        child_args = [a for a in (argv if argv is not None else sys.argv[1:])]
+        # Strip --supervise (both "--supervise N" and "--supervise=N").
+        cleaned = []
+        skip = False
+        for a in child_args:
+            if skip:
+                skip = False
+                continue
+            if a == "--supervise":
+                skip = True
+                continue
+            if a.startswith("--supervise="):
+                continue
+            cleaned.append(a)
+        if "--resume" not in cleaned:
+            cleaned.append("--resume")
+        cmd = [sys.executable, "-m", "drivescenegen_tpu.scripts.train"] + cleaned
+        raise SystemExit(supervise(cmd, args.supervise, _device_healthy))
 
     from drivescenegen_tpu.utils.profiling import enable_compilation_cache
 

@@ -112,3 +112,30 @@ def test_tp_sharded_params_compile_and_run(eight_devices):
     state2, metrics = jax.jit(step)(state, batch, jax.random.key(5))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_supervise_retries_until_success(tmp_path):
+    """The failure-recovery wrapper relaunches a crashed trainer until it
+    succeeds (device-health gate stubbed healthy)."""
+    import sys
+
+    from drivescenegen_tpu.scripts.train import supervise
+
+    marker = tmp_path / "attempts"
+    cmd = [sys.executable, "-c",
+           "import os,sys; p=%r; n=int(open(p).read()) if os.path.exists(p) "
+           "else 0; open(p,'w').write(str(n+1)); sys.exit(0 if n>=2 else 1)"
+           % str(marker)]
+    rc = supervise(cmd, retries=5, health_check=lambda: True, sleep_s=0.01)
+    assert rc == 0
+    assert marker.read_text() == "3"  # two crashes + one success
+
+
+def test_supervise_gives_up_after_budget(tmp_path):
+    import sys
+
+    from drivescenegen_tpu.scripts.train import supervise
+
+    cmd = [sys.executable, "-c", "import sys; sys.exit(3)"]
+    rc = supervise(cmd, retries=2, health_check=lambda: True, sleep_s=0.01)
+    assert rc == 3
