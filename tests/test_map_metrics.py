@@ -143,3 +143,30 @@ def test_end_to_end_metrics_on_synthetic(tmp_path):
     )
     assert np.all(np.isfinite(fds))
     assert np.isfinite(mmd_deg) and np.isfinite(mmd_spec)
+
+
+def test_metrics_cli_gen_world_frame(tmp_path):
+    """--gen_world_frame must skip the pixel->world transform: the same
+    world-frame graphs on both sides score Frechet == 0 only with the flag."""
+    import json
+
+    from drivescenegen_tpu.scripts import compute_map_metrics
+
+    for side in ("a", "b"):
+        gdir = tmp_path / side / "graph"
+        gdir.mkdir(parents=True)
+        for i in range(3):
+            g = _grid_graph(3, 10.0 + i)
+            with open(gdir / f"{i}_graph.pickle", "wb") as f:
+                pickle.dump(g, f)
+
+    out = tmp_path / "m.json"
+    compute_map_metrics.main([
+        "--gt_dir", str(tmp_path / "a"), "--gen_dir", str(tmp_path / "b"),
+        "--gen_world_frame", "--map_range", "80", "--map_res", "256",
+        "--num_samples", "3", "--json_out", str(out),
+    ])
+    with open(out) as f:
+        res = json.load(f)
+    assert all(v == 0.0 for v in res["frechet"].values())
+    assert res["mmd_degrees"] == 0.0
