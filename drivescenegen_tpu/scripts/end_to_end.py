@@ -66,6 +66,8 @@ def main(argv=None):
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim"])
     parser.add_argument("--steps", default=0, type=int)
+    parser.add_argument("--eta", default=None, type=float,
+                        help="DDIM stochasticity (see generation --eta)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--n_workers", default=2, type=int)
     args = parser.parse_args(argv)
@@ -101,7 +103,13 @@ def main(argv=None):
     def denoise(x, t):
         return model.apply(params, x, t)
 
-    fn = ddim_sample if args.sampler == "ddim" else ddpm_sample
+    if args.sampler == "ddim":
+        import functools
+
+        eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
+        fn = functools.partial(ddim_sample, eta=eta)
+    else:
+        fn = ddpm_sample
     shape = (batch, res, res, cfg.model.out_channels)
     run = jax.jit(lambda key: fn(denoise, schedule, shape, key, steps))
 

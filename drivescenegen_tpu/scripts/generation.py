@@ -72,6 +72,10 @@ def main(argv=None):
     parser.add_argument("--batch_size", default=0, type=int)
     parser.add_argument("--num_batches", default=0, type=int)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--eta", default=None, type=float,
+                        help="DDIM stochasticity (0 = deterministic; 1 = "
+                             "ancestral-strength noise — markedly better for "
+                             "briefly-trained models at the same step count)")
     parser.add_argument("--cond_dir", default=None, type=str,
                         help="conditional mode: directory of rasters whose R/G "
                              "map channels condition agent generation (config-5)")
@@ -118,7 +122,8 @@ def main(argv=None):
     if sampler == "ddim":
         import functools
 
-        fn = functools.partial(ddim_sample, eta=cfg.generation.ddim_eta)
+        eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
+        fn = functools.partial(ddim_sample, eta=eta)
     else:
         fn = ddpm_sample
 
