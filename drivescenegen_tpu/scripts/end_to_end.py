@@ -111,7 +111,14 @@ def main(argv=None):
     else:
         fn = ddpm_sample
     shape = (batch, res, res, cfg.model.out_channels)
-    run = jax.jit(lambda key: fn(denoise, schedule, shape, key, steps))
+
+    @jax.jit
+    def run(key):
+        # Quantize to uint8 ON DEVICE: the samples leave the chip 4x
+        # smaller, which matters on a narrow device link (measured ~6 MB/s
+        # here — a float32 batch costs ~1 s of D2H per 8 scenes).
+        x = fn(denoise, schedule, shape, key, steps)
+        return jnp.round(jnp.clip(x / 2 + 0.5, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
     # Host workers (spawn, TPU-plugin env scrubbed — see vectorization.main).
     saved_env = {}
@@ -151,8 +158,7 @@ def main(argv=None):
         """Block on batch `num`'s pixels, save PNGs, skeletonize on-device,
         hand the graph passes to the workers."""
         nonlocal n_enqueued
-        arr = np.asarray(imgs)  # blocks on this batch only
-        quant = (np.clip(arr / 2 + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
+        quant = np.asarray(imgs)  # uint8 straight off the device
         keep = min(batch, args.num_scenes - num * batch)
         quant = quant[:keep]
         # Lane masks from the QUANTIZED pixels (identical to reloading the
