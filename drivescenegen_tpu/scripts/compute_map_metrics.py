@@ -26,7 +26,14 @@ from drivescenegen_tpu.utils.io import get_all_filenames
 
 
 def _side_stats(data_dir: str, num_samples: int, map_range, map_res, refresh: bool):
-    metrics_dir = os.path.join(data_dir, "metrics")
+    # The cache key must encode the frame mode: a world-frame read against a
+    # dir previously cached with the pixel->world transform (or vice versa)
+    # must not return stale stats, so caches are mode-explicit. Legacy bare
+    # "metrics/" caches (ambiguous mode) are deliberately not consulted.
+    mode = (
+        "world" if map_range is None else f"px{int(map_res)}_r{int(map_range)}"
+    )
+    metrics_dir = os.path.join(data_dir, f"metrics_{mode}")
     have_cache = all(
         os.path.exists(os.path.join(metrics_dir, f"{n}.npy"))
         for n in ("stats", "degrees", "spectrum")

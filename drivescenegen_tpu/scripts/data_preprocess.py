@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--synthetic_rich", action="store_true",
                         help="use the widened synthetic layout family "
                              "(T-junctions, curved two-ways, Y-splits, ...)")
+    parser.add_argument("--synthetic_offset", default=0, type=int,
+                        help="first synthetic seed (widen an existing corpus "
+                             "without regenerating: new scenarios get seeds "
+                             "[offset, offset+N) and the index file is merged)")
     args = parser.parse_args()
 
     os.makedirs(args.save_path, exist_ok=True)
@@ -41,7 +45,7 @@ def main():
         from drivescenegen_tpu.data.synthetic import make_synthetic_scenario
 
         ids = []
-        for i in range(args.synthetic):
+        for i in range(args.synthetic_offset, args.synthetic_offset + args.synthetic):
             info = decode_scenario(
                 make_synthetic_scenario(seed=i, rich=args.synthetic_rich)
             )
@@ -63,6 +67,10 @@ def main():
         )
 
     index_file = os.path.join(args.save_path, "processed_scenarios_20s.pkl")
+    if args.synthetic_offset > 0 and os.path.exists(index_file):
+        with open(index_file, "rb") as f:
+            prior = pickle.load(f)
+        ids = list(prior) + [s for s in ids if s not in set(prior)]
     with open(index_file, "wb") as f:
         pickle.dump(ids, f)
     dt = time.perf_counter() - t0

@@ -81,6 +81,16 @@ def main(argv=None):
 
     cfg = load_config(args.cfg_file)
     vcfg = cfg.vectorize
+    # The fused drain path (PNG encode + lane-mask channel indexing) only
+    # handles unconditional 3-channel models; fail fast for others (they go
+    # through the two-stage generation -> vectorization CLIs instead).
+    if cfg.model.out_channels != 3 or cfg.model.cond_channels != 0:
+        raise SystemExit(
+            "end_to_end supports unconditional 3-channel models only "
+            f"(got out_channels={cfg.model.out_channels}, "
+            f"cond_channels={cfg.model.cond_channels}); use "
+            "scripts.generation + scripts.vectorization for this model."
+        )
     model, schedule, params = load_model_for_sampling(
         cfg, args.model_dir or cfg.generation.model_dir
     )

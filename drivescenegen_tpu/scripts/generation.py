@@ -183,7 +183,9 @@ def main(argv=None):
             cond01 = np.clip(np.asarray(cond) / 2 + 0.5, 0.0, 1.0)
             arr01 = np.concatenate([cond01, arr01], axis=-1)  # map R/G + agent B
         for i in range(arr01.shape[0]):
-            Image.fromarray((arr01[i] * 255).astype(np.uint8)).save(
+            # round (not truncate) to match the fused pipeline's on-device
+            # quantization (end_to_end.py run()) bit for bit.
+            Image.fromarray(np.round(arr01[i] * 255).astype(np.uint8)).save(
                 os.path.join(output_dir, f"loop_{num:03d}_batch_{i:03d}.png")
             )
         return arr01.shape[0]

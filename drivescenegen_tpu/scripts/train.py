@@ -56,7 +56,11 @@ def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
     from PIL import Image
 
     shape = (1, cfg.model.sample_size, cfg.model.sample_size, cfg.model.out_channels)
-    cache_key = (id(model), sampler, steps, shape)
+    # Key on config VALUES, not id(model): after a model object is GC'd
+    # (multiple train.main() calls in one process) CPython can reuse the id
+    # and a stale jitted sampler closing over the old model/schedule would be
+    # served (ADVICE r2).
+    cache_key = (repr(cfg.model), repr(cfg.diffusion), sampler, steps, shape)
     if cache_key not in _SAMPLE_FN_CACHE:
         fn = ddpm_sample if sampler == "ddpm" else ddim_sample
 
@@ -81,13 +85,17 @@ def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
 
 
 def supervise(cmd, retries: int, health_check, sleep_s: float = 60.0,
-              max_wait_s: float = 7200.0) -> int:
+              max_wait_s: float = 7200.0, resume_cmd=None) -> int:
     """Failure-recovery wrapper: run `cmd` (a subprocess argv list), and on a
     non-zero exit — e.g. the remote TPU worker crashing mid-run — wait until
-    `health_check()` reports the device is back, then relaunch. The trainer's
-    full-state checkpoints make each relaunch a true resume, so an infra
-    fault costs at most the steps since the last save (SURVEY.md §5,
-    failure detection/recovery). Returns the final exit code."""
+    `health_check()` reports the device is back, then relaunch (with
+    `resume_cmd` if given: the first attempt honors the user's own --resume
+    choice; only relaunches force a resume, so a supervised fresh run on a
+    dir holding older checkpoints doesn't silently adopt those weights).
+    The trainer's full-state checkpoints make each relaunch a true resume,
+    so an infra fault costs at most the steps since the last save
+    (SURVEY.md §5, failure detection/recovery). Returns the final exit
+    code."""
     import subprocess
     import time as _time
 
@@ -97,6 +105,10 @@ def supervise(cmd, retries: int, health_check, sleep_s: float = 60.0,
         if rc == 0 or attempt >= retries:
             return rc
         attempt += 1
+        if resume_cmd is not None:
+            if cmd != resume_cmd:
+                logger.warning("relaunching WITH --resume (crash recovery)")
+            cmd = resume_cmd
         logger.warning(
             f"training attempt {attempt}/{retries} exited rc={rc}; "
             f"waiting for device health before resuming"
@@ -160,10 +172,11 @@ def main(argv=None):
             if a.startswith("--supervise="):
                 continue
             cleaned.append(a)
-        if "--resume" not in cleaned:
-            cleaned.append("--resume")
         cmd = [sys.executable, "-m", "drivescenegen_tpu.scripts.train"] + cleaned
-        raise SystemExit(supervise(cmd, args.supervise, _device_healthy))
+        resume_cmd = cmd if "--resume" in cleaned else cmd + ["--resume"]
+        raise SystemExit(
+            supervise(cmd, args.supervise, _device_healthy, resume_cmd=resume_cmd)
+        )
 
     from drivescenegen_tpu.utils.profiling import enable_compilation_cache
 

