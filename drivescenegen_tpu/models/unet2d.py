@@ -143,7 +143,10 @@ class AttentionBlock(nn.Module):
             return t.reshape(B, H * W, num_heads, head_dim)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
+        # head_dim is a static Python int, so keep the softmax scale a
+        # Python float: pallas flash_attention requires a concrete sm_scale
+        # even under trace (a jnp scalar here is a tracer inside scan).
+        scale = 1.0 / float(head_dim) ** 0.5
 
         if self.impl not in ("xla", "flash"):
             raise ValueError(

@@ -78,3 +78,175 @@ def unet2d_forward_flops(cfg: ModelConfig, batch: int = 1) -> int:
 
     total += _conv(res, res, chans[0], cfg.out_channels)  # conv_out
     return total * batch
+
+
+def unet2d_speed_of_light(cfg: ModelConfig, mxu_lanes: int = 128) -> float:
+    """Achievable MFU ceiling for this UNet on a 128x128-MXU TPU.
+
+    A conv lowered to a matmul maps output features to the MXU's lane
+    dimension: a layer with Cout < 128 can occupy at most Cout/128 of the
+    array no matter how XLA tiles it (the spatial dim rides the essentially
+    unbounded row dimension, and the contraction dim 9*Cin is sequential).
+    The flagship net spends its highest-resolution stages at 64 channels,
+    so its ceiling is well below 100% — this quantifies how far. Returns
+    sum(flops) / sum(flops / per-layer-cap), i.e. the time-weighted
+    utilization bound assuming every matmul otherwise runs at peak.
+    """
+    s = cfg.sample_size
+    chans = tuple(cfg.block_out_channels)
+    n_blocks = len(chans)
+    lpb = cfg.layers_per_block
+    cin = cfg.in_channels + cfg.cond_channels
+
+    layers = []  # (flops, cout) per matmul; dense/time-MLP terms are ~0%
+
+    def cap(cout: int) -> float:
+        return min(1.0, cout / mxu_lanes)
+
+    def add_conv(h, c_in, c_out, k=3, stride=1):
+        layers.append((_conv(h, h, c_in, c_out, k=k, stride=stride), cap(c_out)))
+
+    def add_resnet(h, c_in, c_out):
+        add_conv(h, c_in, c_out)
+        add_conv(h, c_out, c_out)
+        if c_in != c_out:
+            add_conv(h, c_in, c_out, k=1)
+
+    res = s
+    add_conv(res, cin, chans[0])
+    c_prev = chans[0]
+    for i, ch in enumerate(chans):
+        for _ in range(lpb):
+            add_resnet(res, c_prev, ch)
+            c_prev = ch
+        if i != n_blocks - 1:
+            add_conv(res, res, ch, ch, stride=2)
+            res //= 2
+
+    c = chans[-1]
+    add_resnet(res, c, c)
+    add_resnet(res, c, c)
+    tokens = res * res
+    layers.append((2 * tokens * c * 3 * c, cap(3 * c)))
+    layers.append((2 * 2 * tokens * tokens * c, cap(min(tokens, c))))
+    layers.append((2 * tokens * c * c, cap(c)))
+
+    skips = []  # mirror the up-path channel bookkeeping of the flop count
+    res2, skips = s, [(s, chans[0])]
+    cp = chans[0]
+    for i, ch in enumerate(chans):
+        for _ in range(lpb):
+            skips.append((res2, ch))
+            cp = ch
+        if i != n_blocks - 1:
+            res2 //= 2
+            skips.append((res2, ch))
+    for i, ch in enumerate(reversed(chans)):
+        for _ in range(lpb + 1):
+            _, skip_c = skips.pop()
+            add_resnet(res, c_prev + skip_c, ch)
+            c_prev = ch
+        if i != n_blocks - 1:
+            res *= 2
+            add_conv(res, res, ch, ch)
+
+    add_conv(res, chans[0], cfg.out_channels)
+
+    total = sum(f for f, _ in layers)
+    time_weighted = sum(f / max(u, 1e-9) for f, u in layers)
+    return total / time_weighted
+
+
+def unet2d_roofline_seconds(
+    cfg: ModelConfig,
+    batch: int,
+    peak_flops: float = 197e12,
+    hbm_bw: float = 819e9,
+    act_bytes: int = 2,
+) -> dict:
+    """Roofline estimate of one forward pass: per stage, time = max(MXU
+    time, HBM time), where HBM traffic counts each conv's input+output
+    activations plus one read+write per elementwise pass (GroupNorm+SiLU
+    before every conv, residual add, up/downsample). The high-resolution
+    64-channel stages are bandwidth-bound on v5e (arithmetic intensity of a
+    3x3 64->64 conv at 256^2 is ~290 FLOP/B vs the ~240 FLOP/B ridge, and
+    the norm/act passes between convs drop the whole stage well below it),
+    which is what caps the sampler near ~55% MFU — not MXU occupancy
+    (unet2d_speed_of_light = 99%).
+    """
+    s = cfg.sample_size
+    chans = tuple(cfg.block_out_channels)
+    n_blocks = len(chans)
+    lpb = cfg.layers_per_block
+    cin = cfg.in_channels + cfg.cond_channels
+
+    t_flop = 0.0
+    t_mem = 0.0
+    t_total = 0.0
+
+    def px(h):
+        return batch * h * h
+
+    def add(flops, bytes_):
+        nonlocal t_flop, t_mem, t_total
+        tf, tm = flops / peak_flops, bytes_ / hbm_bw
+        t_flop += tf
+        t_mem += tm
+        t_total += max(tf, tm)
+
+    def conv(h, c_in, c_out, k=3, stride=1, fused_eltwise=2):
+        # fused_eltwise: extra full-tensor read+write passes XLA cannot fuse
+        # into the conv (GroupNorm needs two passes: stats + normalize).
+        f = batch * _conv(h, h, c_in, c_out, k=k, stride=stride)
+        b = (px(h) * c_in + px(h // stride) * c_out) * act_bytes
+        b += fused_eltwise * px(h) * c_in * act_bytes
+        add(f, b)
+
+    res = s
+    conv(res, cin, chans[0], fused_eltwise=0)
+    c_prev = chans[0]
+    skips = [(res, chans[0])]
+    for i, ch in enumerate(chans):
+        for _ in range(lpb):
+            conv(res, c_prev, ch)
+            conv(res, ch, ch)
+            if c_prev != ch:
+                conv(res, c_prev, ch, k=1, fused_eltwise=0)
+            # residual add: read two, write one
+            add(0, 3 * px(res) * ch * act_bytes)
+            c_prev = ch
+            skips.append((res, ch))
+        if i != n_blocks - 1:
+            conv(res, ch, ch, stride=2, fused_eltwise=0)
+            res //= 2
+            skips.append((res, ch))
+
+    c = chans[-1]
+    for _ in range(2):
+        conv(res, c, c)
+        conv(res, c, c)
+        add(0, 3 * px(res) * c * act_bytes)
+    tokens = res * res
+    add(2 * batch * tokens * c * 4 * c + 4 * batch * tokens * tokens * c,
+        8 * batch * tokens * c * act_bytes)
+
+    for i, ch in enumerate(reversed(chans)):
+        for _ in range(lpb + 1):
+            _, skip_c = skips.pop()
+            conv(res, c_prev + skip_c, ch)
+            conv(res, ch, ch)
+            if c_prev + skip_c != ch:
+                conv(res, c_prev + skip_c, ch, k=1, fused_eltwise=0)
+            add(0, 3 * px(res) * ch * act_bytes)
+            c_prev = ch
+        if i != n_blocks - 1:
+            res *= 2
+            conv(res, ch, ch, fused_eltwise=0)
+
+    conv(res, chans[0], cfg.out_channels, fused_eltwise=0)
+    return {
+        "t_roofline_s": t_total,
+        "t_flops_only_s": t_flop,
+        "t_mem_only_s": t_mem,
+        "mfu_ceiling": t_flop / t_total if t_total else 0.0,
+    }

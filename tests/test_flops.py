@@ -41,3 +41,21 @@ def test_flagship_flop_count_magnitude():
     flops = unet2d_forward_flops(ModelConfig(), batch=1)
     # ~370 GFLOPs/sample forward at 256x256 (documented in bench.py).
     assert 3.0e11 < flops < 4.5e11
+
+
+def test_speed_of_light_and_roofline_bounds():
+    from drivescenegen_tpu.config import ModelConfig
+    from drivescenegen_tpu.utils.flops import (
+        unet2d_roofline_seconds,
+        unet2d_speed_of_light,
+    )
+
+    cfg = ModelConfig()
+    sol = unet2d_speed_of_light(cfg)
+    assert 0.0 < sol <= 1.0
+    r = unet2d_roofline_seconds(cfg, batch=8)
+    # Roofline time is at least the pure-FLOPs time and at most their sum.
+    assert r["t_flops_only_s"] <= r["t_roofline_s"] <= (
+        r["t_flops_only_s"] + r["t_mem_only_s"]
+    )
+    assert 0.0 < r["mfu_ceiling"] <= sol
