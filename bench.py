@@ -46,10 +46,11 @@ def main():
     model = UNet2D(ModelConfig())
     schedule = make_schedule(DiffusionConfig())
     res = 256
-    # batch 8 is the measured sweet spot on v5e via axon: batch 16 compiles
-    # ~4 min and lands at HALF the per-scene throughput (3.1 vs 6.1
-    # scenes/s/chip) — the compiler picks pessimal layouts for the larger
-    # activations. Revisit per-backend.
+    # batch 8 is the measured sweet spot on v5e via axon (r3 sweep,
+    # outputs/probe_sweep_r3*.log): batch {4,8,16,32} -> {2.55, 6.15, 6.00,
+    # 5.62} scenes/s; flash attention 5.93 (1024 tokens is below pallas
+    # flash's win region), bf16 pre-cast 6.15 (XLA already casts), pallas
+    # GN 3.23 (breaks XLA fusion). The r2 batch-16 cliff did not reproduce.
     batch = 8
 
     x0 = jnp.zeros((1, res, res, 3), jnp.float32)
@@ -74,10 +75,15 @@ def main():
     # MFU against the v5e bf16 peak (197 TFLOP/s), using the analytic conv/
     # attention FLOP count cross-checked vs XLA cost analysis in
     # tests/test_flops.py. Only meaningful on the TPU platform.
-    from drivescenegen_tpu.utils.flops import unet2d_forward_flops
+    from drivescenegen_tpu.utils.flops import (
+        unet2d_forward_flops,
+        unet2d_roofline_seconds,
+        unet2d_speed_of_light,
+    )
 
     fwd_flops = unet2d_forward_flops(ModelConfig())
     mfu = ddim_tput * 50 * fwd_flops / 197e12 if platform == "tpu" else None
+    roof = unet2d_roofline_seconds(ModelConfig(), batch)
 
     result = {
         "metric": f"scenes/sec/chip, 50-step DDIM @ {res}x{res} ({platform})",
@@ -91,6 +97,14 @@ def main():
             "n_chips": n_chips,
             "fwd_gflops": round(fwd_flops / 1e9, 1),
             "mfu_pct": round(mfu * 100, 1) if mfu is not None else None,
+            # Analytic ceilings (utils/flops.py): MXU lane occupancy is not
+            # the limiter (99%); the HBM roofline with GroupNorm's two-pass
+            # traffic caps this net at ~73% MFU / ~8.2 scenes/s on v5e.
+            "mxu_occupancy_ceiling_pct": round(
+                unet2d_speed_of_light(ModelConfig()) * 100, 1
+            ),
+            "roofline_mfu_ceiling_pct": round(roof["mfu_ceiling"] * 100, 1),
+            "roofline_scenes_per_s": round(batch / (50 * roof["t_roofline_s"]), 2),
         },
     }
     print(json.dumps(result))
