@@ -325,7 +325,9 @@ def find_intersections(graph: nx.Graph, img01: np.ndarray,
             # "list index out of range" failures of the r2 5k run). Keep the
             # lane whole as a map-edge lane instead.
             if len(curve) < 3:
-                removed_nodes += [n1, n2]
+                # Remove only the terminal itself: its neighbor keeps its
+                # other edges (unlike the isolated-lane branch above).
+                removed_nodes.append(original_node)
                 directed_edges.append((n1, n2, {"path": curve, "d": length_curve}))
                 directed_nodes.append((n1, {"yaw": curve[0][2], "type": "map_entry"}))
                 directed_nodes.append((n2, {"yaw": curve[-1][2], "type": "map_exit"}))

@@ -172,3 +172,18 @@ def test_extract_agents_parity_with_cv2_pipeline():
         assert min(d) < 0.5
         assert abs(a[3] - cl * map_scale) < 0.5
         assert abs(a[4] - cw * map_scale) < 0.5
+
+
+def test_match_agents_greedy_by_center():
+    from drivescenegen_tpu.scripts.eval_cond_agents import match_agents
+
+    gt = [[0, 0, 0, 5, 2, 2, 0, 0, 0], [10, 10, 0, 5, 2, 2, 0, 0, 0]]
+    pred = [[0.5, 0, 0, 5, 2, 2, 0, 0, 0], [30, 30, 0, 5, 2, 2, 0, 0, 0]]
+    n, err = match_agents(gt, pred)
+    assert n == 1 and abs(err - 0.5) < 1e-9
+    # Each side is matched at most once even with two close predictions.
+    pred2 = [[0.5, 0, 0, 5, 2, 2, 0, 0, 0], [0.6, 0, 0, 5, 2, 2, 0, 0, 0]]
+    n2, _ = match_agents([gt[0]], pred2)
+    assert n2 == 1
+    assert match_agents([], pred) == (0, 0.0)
+    assert match_agents(gt, []) == (0, 0.0)
