@@ -24,14 +24,36 @@ from drivescenegen_tpu.vectorize.graph_utils import normalize_angle_rad
 # Box fitting: connected components + convex hull + rotating calipers
 # ---------------------------------------------------------------------------
 
-def connected_components(mask: np.ndarray) -> List[np.ndarray]:
+def connected_components(
+    mask: np.ndarray, min_area: int = 0, min_extent: int = 0
+) -> List[np.ndarray]:
     """8-connected foreground components as (N, 2) pixel-center (x, y)
-    arrays (the role of cv2.findContours RETR_LIST)."""
+    arrays (the role of cv2.findContours RETR_LIST).
+
+    min_area / min_extent prefilter components by pixel count and by
+    max(bbox height, width) BEFORE materializing their pixel lists. On
+    speckled model outputs the blue channel holds thousands of few-pixel
+    blobs, and the per-component Python work (hull + calipers + gates) was
+    8.2 s/image (outputs/stage2_profile.py); a component that can pass the
+    vehicle size gates (length >= 4 m, width >= 1.75 m at 0.3125 m/px,
+    extract_vehicles.py:160-164) needs >= ~18 connected px and a bbox
+    extent >= L/sqrt(2) ~ 9 px, so min_area=16 / min_extent=9 are strict
+    supersets of the downstream gates."""
     from scipy import ndimage as ndi
 
     lab, n = ndi.label(mask, structure=np.ones((3, 3), np.int32))
+    if n == 0:
+        return []
+    areas = np.bincount(lab.ravel(), minlength=n + 1)
     out = []
     for i, sl in enumerate(ndi.find_objects(lab), start=1):
+        if areas[i] < min_area:
+            continue
+        if sl is not None and min_extent > 0:
+            h = sl[0].stop - sl[0].start
+            w = sl[1].stop - sl[1].start
+            if max(h, w) < min_extent:
+                continue
         ys, xs = np.nonzero(lab[sl] == i)
         out.append(
             np.stack([xs + sl[1].start, ys + sl[0].start], axis=1).astype(np.float64)
@@ -39,8 +61,26 @@ def connected_components(mask: np.ndarray) -> List[np.ndarray]:
     return out
 
 
+def _reduce_to_row_extremes(pts: np.ndarray) -> np.ndarray:
+    """Keep only each x-column's min/max-y points: the convex hull of a
+    dense pixel blob equals the hull of its per-column extremes, so a 65k-px
+    blob (a noisy sample's saturated blue channel) shrinks to <= 2*W
+    candidates before the O(N) chain loop (measured 16 s -> ms)."""
+    xs = pts[:, 0].astype(np.int64)
+    xs_u, inv = np.unique(xs, return_inverse=True)
+    ymin = np.full(len(xs_u), np.inf)
+    ymax = np.full(len(xs_u), -np.inf)
+    np.minimum.at(ymin, inv, pts[:, 1])
+    np.maximum.at(ymax, inv, pts[:, 1])
+    lo = np.stack([xs_u.astype(np.float64), ymin], axis=1)
+    hi = np.stack([xs_u.astype(np.float64), ymax], axis=1)
+    return np.concatenate([lo, hi])
+
+
 def _convex_hull(pts: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; pts (N, 2) -> CCW hull vertices."""
+    if len(pts) > 1024:
+        pts = _reduce_to_row_extremes(pts)
     pts = np.unique(pts, axis=0)  # lexicographically sorted unique rows
     if len(pts) <= 2:
         return pts
@@ -170,7 +210,11 @@ def extract_agents(
 
     modes = get_image_histogram(img01)  # constant per image; hoisted
     vehicles = []
-    for pts in connected_components(thresh):
+    # Conservative speckle prefilter: any component passing the size gates
+    # below has a min-rect long side L >= 4.0/map_scale px, hence a bbox
+    # extent and a connected pixel count of at least L/sqrt(2).
+    min_px = max(1, int(4.0 / map_scale / math.sqrt(2)))
+    for pts in connected_components(thresh, min_area=min_px, min_extent=min_px):
         cx, cy, length, width, long_yaw = min_area_rect(pts)
         # min_area_rect already returns long >= short with the long-axis
         # yaw; the reference's aspect disambiguation (extract_vehicles.py:
