@@ -163,27 +163,36 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     transferred ONCE and each train step ships 16 int32 indices instead of a
     3 MB batch (the measured tunnel sustains only a few MB/s, which capped
     training at ~2 steps/s host-bound; device-resident data removes the
-    input pipeline entirely). Chunked upload keeps host RAM spikes bounded
-    and logs progress on slow links."""
+    input pipeline entirely).
+
+    The full array is assembled HOST-side and shipped as ONE device_put:
+    a per-chunk upload + jnp.concatenate briefly needs 2x the dataset in
+    HBM (the chunks plus the concatenated copy), which for a 7.9 GB corpus
+    next to the model state overflows a 16 GB v5e. Host RAM is the cheap
+    side (chunked decode keeps the PNG->array staging bounded)."""
     import time as _time
 
     import jax
-    import jax.numpy as jnp
 
     from drivescenegen_tpu.parallel.mesh import replicated
 
-    parts = []
     t0 = _time.perf_counter()
     n = len(dataset)
-    for i in range(0, n, chunk):
-        arr = np.stack([dataset[j] for j in range(i, min(i + chunk, n))])
-        parts.append(jax.device_put(arr, replicated(mesh)))
-    data = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    sample0 = dataset[0]
+    full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
+    full[0] = sample0
+    for i in range(1, n, chunk):
+        for j in range(i, min(i + chunk, n)):
+            full[j] = dataset[j]
+        if (i - 1) % (chunk * 8) == 0:
+            print(f"dataset_to_device: decoded {i + chunk - 1}/{n}", flush=True)
+    t_dec = _time.perf_counter() - t0
+    data = jax.device_put(full, replicated(mesh))
     data.block_until_ready()
     gb = data.size * data.dtype.itemsize / 1e9
     print(
         f"dataset_to_device: {n} samples ({gb:.2f} GB, {data.dtype}) "
-        f"in {_time.perf_counter() - t0:.1f}s", flush=True,
+        f"in {_time.perf_counter() - t0:.1f}s (decode {t_dec:.1f}s)", flush=True,
     )
     return data
 
