@@ -170,6 +170,7 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     HBM (the chunks plus the concatenated copy), which for a 7.9 GB corpus
     next to the model state overflows a 16 GB v5e. Host RAM is the cheap
     side (chunked decode keeps the PNG->array staging bounded)."""
+    import hashlib
     import time as _time
 
     import jax
@@ -179,15 +180,41 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     t0 = _time.perf_counter()
     n = len(dataset)
     sample0 = dataset[0]
-    full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
-    full[0] = sample0
-    for i in range(1, n, chunk):
-        for j in range(i, min(i + chunk, n)):
-            full[j] = dataset[j]
-        if (i - 1) % (chunk * 8) == 0:
-            print(f"dataset_to_device: decoded {i + chunk - 1}/{n}", flush=True)
+
+    # Persistent decoded-array sidecar: PNG decode of a 40k-image corpus
+    # costs ~30 min on a 1-core host, paid again on every crash-recovery
+    # relaunch. The sidecar is keyed by the file list + decode params, so
+    # corpus edits invalidate it; device_put streams straight off the mmap.
+    digest = hashlib.sha1(
+        ("\n".join(dataset.files) + f"|{dataset.img_res}|{dataset.n_channels}"
+         + f"|{sample0.dtype}").encode()
+    ).hexdigest()[:16]
+    cache_path = os.path.join(
+        os.path.dirname(dataset.files[0]), f".devcache_{digest}.npy"
+    )
+    full = None
+    if os.path.exists(cache_path):
+        try:
+            m = np.load(cache_path, mmap_mode="r")
+            if m.shape == (n, *sample0.shape) and m.dtype == sample0.dtype:
+                full = m
+                print(f"dataset_to_device: using sidecar {cache_path}", flush=True)
+        except Exception:
+            full = None
+    if full is None:
+        full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
+        full[0] = sample0
+        for i in range(1, n, chunk):
+            for j in range(i, min(i + chunk, n)):
+                full[j] = dataset[j]
+            if (i - 1) % (chunk * 8) == 0:
+                print(f"dataset_to_device: decoded {i + chunk - 1}/{n}", flush=True)
+        try:
+            np.save(cache_path, full)
+        except OSError:
+            pass  # disk-constrained host: decode again next time
     t_dec = _time.perf_counter() - t0
-    data = jax.device_put(full, replicated(mesh))
+    data = jax.device_put(np.ascontiguousarray(full), replicated(mesh))
     data.block_until_ready()
     gb = data.size * data.dtype.itemsize / 1e9
     print(

@@ -113,3 +113,26 @@ def test_dataset_to_device_roundtrip(png_dir, eight_devices):
     got = np.asarray(jnp.take(data, jnp.asarray([3, 0, 7]), axis=0))
     want = np.stack([ds[3], ds[0], ds[7]])
     np.testing.assert_array_equal(got, want)
+
+
+def test_dataset_to_device_sidecar_roundtrip(png_dir, eight_devices):
+    import glob as _glob
+    import os
+
+    from drivescenegen_tpu.config import MeshConfig
+    from drivescenegen_tpu.data.dataset import dataset_to_device
+    from drivescenegen_tpu.parallel import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=1, model=1), devices=eight_devices[:1])
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw="auto", cache=True)
+    first = np.asarray(dataset_to_device(ds, mesh))
+    sidecars = _glob.glob(str(png_dir / ".devcache_*.npy"))
+    assert len(sidecars) == 1
+    # Second call must hit the sidecar and produce identical bytes.
+    ds2 = RasterDataset(str(png_dir / "*.png"), img_res=64, raw="auto")
+    again = np.asarray(dataset_to_device(ds2, mesh))
+    assert np.array_equal(first, again)
+    # A different decode resolution must not reuse the same sidecar.
+    ds3 = RasterDataset(str(png_dir / "*.png"), img_res=32, raw="auto")
+    other = np.asarray(dataset_to_device(ds3, mesh))
+    assert other.shape[1] == 32 and len(_glob.glob(str(png_dir / ".devcache_*.npy"))) == 2
