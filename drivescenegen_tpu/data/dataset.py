@@ -214,7 +214,37 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
         except OSError:
             pass  # disk-constrained host: decode again next time
     t_dec = _time.perf_counter() - t0
-    data = jax.device_put(np.ascontiguousarray(full), replicated(mesh))
+
+    # Ship in ~200 MB chunks into a donated device buffer: one giant
+    # device_put stalls the narrow axon tunnel (>35 min observed for
+    # 7.9 GB, vs ~200 MB chunks streaming fine), while chunked put +
+    # jnp.concatenate transiently needs 2x the corpus in HBM. Donated
+    # dynamic_update_slice keeps peak HBM at corpus + one chunk and one
+    # compiled program reused for every full chunk.
+    import jax.numpy as jnp
+    from functools import partial
+
+    sharding = replicated(mesh)
+    bytes_per = int(np.prod(sample0.shape)) * sample0.dtype.itemsize
+    up_chunk = max(1, min(n, (200 * 1024 * 1024) // max(bytes_per, 1)))
+
+    @partial(jax.jit, donate_argnums=0)
+    def _write(buf, part, start):
+        return jax.lax.dynamic_update_slice_in_dim(buf, part, start, axis=0)
+
+    data = jax.device_put(
+        jnp.zeros((n, *sample0.shape), dtype=sample0.dtype), sharding
+    )
+    i = 0
+    while i < n:
+        if n - i < up_chunk:
+            # Tail: re-send the LAST up_chunk rows (the overlap rewrites
+            # identical data) so the compiled program is reused.
+            i = n - up_chunk
+        part = np.ascontiguousarray(full[i : i + up_chunk])
+        data = _write(data, jax.device_put(part, sharding), i)
+        i += up_chunk
+        print(f"dataset_to_device: uploaded {min(i, n)}/{n}", flush=True)
     data.block_until_ready()
     gb = data.size * data.dtype.itemsize / 1e9
     print(
