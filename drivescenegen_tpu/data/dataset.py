@@ -155,6 +155,49 @@ def batch_iterator(
             pass
 
 
+def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
+    """Decode the whole dataset to one [N, H, W, C] host array, backed by a
+    persistent sidecar file.
+
+    PNG decode of a 40k-image corpus costs ~30 min on a 1-core host, paid
+    again on every crash-recovery relaunch. The sidecar is keyed by the file
+    list + decode params, so corpus edits invalidate it; device_put streams
+    straight off the mmap. Callable standalone (see __main__) to prebuild a
+    corpus sidecar on the host while the chip is busy with another run.
+    """
+    import hashlib
+
+    n = len(dataset)
+    sample0 = dataset[0]
+    digest = hashlib.sha1(
+        ("\n".join(dataset.files) + f"|{dataset.img_res}|{dataset.n_channels}"
+         + f"|{sample0.dtype}").encode()
+    ).hexdigest()[:16]
+    cache_path = os.path.join(
+        os.path.dirname(dataset.files[0]), f".devcache_{digest}.npy"
+    )
+    if os.path.exists(cache_path):
+        try:
+            m = np.load(cache_path, mmap_mode="r")
+            if m.shape == (n, *sample0.shape) and m.dtype == sample0.dtype:
+                print(f"decoded_corpus: using sidecar {cache_path}", flush=True)
+                return m
+        except Exception:
+            pass
+    full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
+    full[0] = sample0
+    for i in range(1, n, chunk):
+        for j in range(i, min(i + chunk, n)):
+            full[j] = dataset[j]
+        if (i - 1) % (chunk * 8) == 0:
+            print(f"decoded_corpus: decoded {i + chunk - 1}/{n}", flush=True)
+    try:
+        np.save(cache_path, full)
+    except OSError:
+        pass  # disk-constrained host: decode again next time
+    return full
+
+
 def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     """Upload the whole dataset to device HBM as one [N, H, W, C] array.
 
@@ -170,7 +213,6 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     HBM (the chunks plus the concatenated copy), which for a 7.9 GB corpus
     next to the model state overflows a 16 GB v5e. Host RAM is the cheap
     side (chunked decode keeps the PNG->array staging bounded)."""
-    import hashlib
     import time as _time
 
     import jax
@@ -178,41 +220,9 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
     from drivescenegen_tpu.parallel.mesh import replicated
 
     t0 = _time.perf_counter()
+    full = decoded_corpus(dataset, chunk=chunk)
     n = len(dataset)
     sample0 = dataset[0]
-
-    # Persistent decoded-array sidecar: PNG decode of a 40k-image corpus
-    # costs ~30 min on a 1-core host, paid again on every crash-recovery
-    # relaunch. The sidecar is keyed by the file list + decode params, so
-    # corpus edits invalidate it; device_put streams straight off the mmap.
-    digest = hashlib.sha1(
-        ("\n".join(dataset.files) + f"|{dataset.img_res}|{dataset.n_channels}"
-         + f"|{sample0.dtype}").encode()
-    ).hexdigest()[:16]
-    cache_path = os.path.join(
-        os.path.dirname(dataset.files[0]), f".devcache_{digest}.npy"
-    )
-    full = None
-    if os.path.exists(cache_path):
-        try:
-            m = np.load(cache_path, mmap_mode="r")
-            if m.shape == (n, *sample0.shape) and m.dtype == sample0.dtype:
-                full = m
-                print(f"dataset_to_device: using sidecar {cache_path}", flush=True)
-        except Exception:
-            full = None
-    if full is None:
-        full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
-        full[0] = sample0
-        for i in range(1, n, chunk):
-            for j in range(i, min(i + chunk, n)):
-                full[j] = dataset[j]
-            if (i - 1) % (chunk * 8) == 0:
-                print(f"dataset_to_device: decoded {i + chunk - 1}/{n}", flush=True)
-        try:
-            np.save(cache_path, full)
-        except OSError:
-            pass  # disk-constrained host: decode again next time
     t_dec = _time.perf_counter() - t0
 
     # Ship in ~200 MB chunks into a donated device buffer: one giant
@@ -284,3 +294,26 @@ def prefetch_to_device(iterator, mesh, depth: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+if __name__ == "__main__":
+    # Prebuild a config's decoded-corpus sidecar on the host (no device
+    # touched), so a later device_data training launch skips the ~30-min
+    # decode: python -m drivescenegen_tpu.data.dataset --cfg_file <yaml>
+    import argparse
+
+    from drivescenegen_tpu.config import load_config
+
+    _p = argparse.ArgumentParser(description="Prebuild decoded-corpus sidecar")
+    _p.add_argument("--cfg_file", required=True, type=str)
+    _a = _p.parse_args()
+    _cfg = load_config(_a.cfg_file)
+    _ds = RasterDataset(
+        _cfg.train.dataset_glob,
+        img_res=_cfg.model.sample_size,
+        n_channels=_cfg.model.in_channels + _cfg.model.cond_channels,
+        cache=False,
+        raw="auto",
+    )
+    _full = decoded_corpus(_ds)
+    print(f"sidecar ready: {_full.shape} {_full.dtype}")
