@@ -86,11 +86,20 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
         return pts
 
     def chain(points):
+        # Scalar 2D cross product inline: the generic np.cross carries
+        # ~100 us of moveaxis/axis-normalization overhead per call, which
+        # dominated stage-2 agent extraction (35k calls/image profiled).
         h: list = []
         for p in points:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
-                h.pop()
-            h.append(p)
+            px, py = float(p[0]), float(p[1])
+            while len(h) >= 2:
+                ax, ay = h[-2]
+                bx, by = h[-1]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0.0:
+                    h.pop()
+                else:
+                    break
+            h.append((px, py))
         return h
 
     lower = chain(pts)
