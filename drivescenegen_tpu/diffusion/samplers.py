@@ -30,9 +30,27 @@ def ddpm_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> jnp
     return ts[::-1]
 
 
-def ddim_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> jnp.ndarray:
-    """Descending timestep array, "leading" spacing (diffusers DDIMScheduler)."""
-    return ddpm_timesteps(schedule, num_inference_steps)
+def ddim_timesteps(
+    schedule: DiffusionSchedule,
+    num_inference_steps: int,
+    spacing: str = "leading",
+) -> jnp.ndarray:
+    """Descending timestep array. "leading" is the diffusers DDIMScheduler
+    default (starts at T - T//n, parity with the reference's pipeline);
+    "trailing" starts at T-1 so the chain's first step matches the pure-
+    noise prior exactly — at low step counts leading spacing never visits
+    the highest-noise timesteps and leaves a signal-leak artifact (Lin et
+    al., "Common Diffusion Noise Schedules and Sample Steps are Flawed",
+    arXiv:2305.08891)."""
+    if spacing == "leading":
+        return ddpm_timesteps(schedule, num_inference_steps)
+    if spacing != "trailing":
+        raise ValueError(f"unknown timestep spacing {spacing!r}")
+    T = schedule.num_train_timesteps
+    n = min(num_inference_steps, T)
+    step_ratio = T / n
+    ts = (jnp.round(jnp.arange(T, 0, -step_ratio)) - 1).astype(jnp.int32)
+    return ts
 
 
 def ddpm_step(
@@ -140,9 +158,10 @@ def ddim_sample(
     key: jax.Array,
     num_inference_steps: int = 50,
     eta: float = 0.0,
+    spacing: str = "leading",
 ) -> jax.Array:
     """DDIM sampling — the fast path (50 steps vs the reference's 750)."""
-    ts = ddim_timesteps(schedule, num_inference_steps)
+    ts = ddim_timesteps(schedule, num_inference_steps, spacing=spacing)
 
     def step_fn(x, eps, t, prev_t, noise):
         return ddim_step(schedule, x, eps, t, prev_t, noise, eta=eta)

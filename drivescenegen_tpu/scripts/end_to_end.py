@@ -68,6 +68,9 @@ def main(argv=None):
     parser.add_argument("--steps", default=0, type=int)
     parser.add_argument("--eta", default=None, type=float,
                         help="DDIM stochasticity (see generation --eta)")
+    parser.add_argument("--spacing", default="leading",
+                        choices=["leading", "trailing"],
+                        help="DDIM timestep spacing (see generation --spacing)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--n_workers", default=2, type=int)
     args = parser.parse_args(argv)
@@ -117,7 +120,7 @@ def main(argv=None):
         import functools
 
         eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
-        fn = functools.partial(ddim_sample, eta=eta)
+        fn = functools.partial(ddim_sample, eta=eta, spacing=args.spacing)
     else:
         fn = ddpm_sample
     shape = (batch, res, res, cfg.model.out_channels)

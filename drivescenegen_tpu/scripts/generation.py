@@ -76,6 +76,10 @@ def main(argv=None):
                         help="DDIM stochasticity (0 = deterministic; 1 = "
                              "ancestral-strength noise — markedly better for "
                              "briefly-trained models at the same step count)")
+    parser.add_argument("--spacing", default="leading",
+                        choices=["leading", "trailing"],
+                        help="DDIM timestep spacing; trailing visits t=T-1 "
+                             "(better at low step counts, arXiv:2305.08891)")
     parser.add_argument("--cond_dir", default=None, type=str,
                         help="conditional mode: directory of rasters whose R/G "
                              "map channels condition agent generation (config-5)")
@@ -123,7 +127,7 @@ def main(argv=None):
         import functools
 
         eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
-        fn = functools.partial(ddim_sample, eta=eta)
+        fn = functools.partial(ddim_sample, eta=eta, spacing=args.spacing)
     else:
         fn = ddpm_sample
 

@@ -50,6 +50,12 @@ def test_timestep_arrays(schedule):
     ts50 = ddim_timesteps(schedule, 50)
     assert ts50.shape == (50,)
     assert int(ts50[0]) == 980 and int(ts50[-1]) == 0  # leading spacing, ratio 20
+    tr50 = ddim_timesteps(schedule, 50, spacing="trailing")
+    assert tr50.shape == (50,)
+    # Trailing spacing visits t=T-1 (the pure-noise prior) and descends in
+    # the same stride; the final step's prev_t = 19 - 20 < 0 -> acp_prev=1.
+    assert int(tr50[0]) == 999 and int(tr50[-1]) == 19
+    assert int(tr50[0] - tr50[1]) == 20
 
 
 def _perfect_denoiser(schedule, x_target):
@@ -68,6 +74,10 @@ def test_ddim_recovers_target(schedule):
     fn = _perfect_denoiser(schedule, target)
     out = ddim_sample(fn, schedule, (1, 8, 8, 3), jax.random.key(0), 50)
     np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+    out_tr = ddim_sample(
+        fn, schedule, (1, 8, 8, 3), jax.random.key(0), 50, spacing="trailing"
+    )
+    np.testing.assert_allclose(np.asarray(out_tr), np.asarray(target), atol=1e-3)
 
 
 def test_ddpm_recovers_target(schedule):
