@@ -52,6 +52,14 @@ def load_model_for_sampling(cfg, model_dir: str):
             jnp.zeros((1,), jnp.int32),
         )
     )
+    # Orbax deserialization needs a concrete sharding per leaf; eval_shape
+    # structs carry none (observed failing on the CPU backend). Restore onto
+    # the default device — callers re-place params afterwards as needed.
+    dev_sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    template = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev_sharding),
+        template,
+    )
     try:
         params = restore_params_only(model_dir, template)
     except FileNotFoundError:
