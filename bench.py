@@ -97,9 +97,10 @@ def main():
             "n_chips": n_chips,
             "fwd_gflops": round(fwd_flops / 1e9, 1),
             "mfu_pct": round(mfu * 100, 1) if mfu is not None else None,
-            # Analytic ceilings (utils/flops.py): MXU lane occupancy is not
-            # the limiter (99%); the HBM roofline with GroupNorm's two-pass
-            # traffic caps this net at ~73% MFU / ~8.2 scenes/s on v5e.
+            # Analytic ceilings (utils/flops.py): MXU lane occupancy caps
+            # this net at 81% (64-channel stages fill half the 128-lane
+            # array); composing that with the HBM roofline (GroupNorm's
+            # two-pass traffic) gives ~68% MFU / ~7.6 scenes/s on v5e.
             "mxu_occupancy_ceiling_pct": round(
                 unet2d_speed_of_light(ModelConfig()) * 100, 1
             ),

@@ -120,7 +120,7 @@ def unet2d_speed_of_light(cfg: ModelConfig, mxu_lanes: int = 128) -> float:
             add_resnet(res, c_prev, ch)
             c_prev = ch
         if i != n_blocks - 1:
-            add_conv(res, res, ch, ch, stride=2)
+            add_conv(res, ch, ch, stride=2)
             res //= 2
 
     c = chans[-1]
@@ -148,7 +148,7 @@ def unet2d_speed_of_light(cfg: ModelConfig, mxu_lanes: int = 128) -> float:
             c_prev = ch
         if i != n_blocks - 1:
             res *= 2
-            add_conv(res, res, ch, ch)
+            add_conv(res, ch, ch)
 
     add_conv(res, chans[0], cfg.out_channels)
 
@@ -170,9 +170,11 @@ def unet2d_roofline_seconds(
     before every conv, residual add, up/downsample). The high-resolution
     64-channel stages are bandwidth-bound on v5e (arithmetic intensity of a
     3x3 64->64 conv at 256^2 is ~290 FLOP/B vs the ~240 FLOP/B ridge, and
-    the norm/act passes between convs drop the whole stage well below it),
-    which is what caps the sampler near ~55% MFU — not MXU occupancy
-    (unet2d_speed_of_light = 99%).
+    the norm/act passes between convs drop the whole stage well below it).
+    MXU time for each conv is lane-capped (a Cout<128 matmul can occupy at
+    most Cout/128 of the array — unet2d_speed_of_light), so the returned
+    ceiling composes both limits: bandwidth at high resolution, lane
+    occupancy in the 64-channel stages.
     """
     s = cfg.sample_size
     chans = tuple(cfg.block_out_channels)
@@ -187,10 +189,10 @@ def unet2d_roofline_seconds(
     def px(h):
         return batch * h * h
 
-    def add(flops, bytes_):
+    def add(flops, bytes_, lane_cap=1.0):
         nonlocal t_flop, t_mem, t_total
-        tf, tm = flops / peak_flops, bytes_ / hbm_bw
-        t_flop += tf
+        tf, tm = flops / (peak_flops * lane_cap), bytes_ / hbm_bw
+        t_flop += flops / peak_flops  # MFU numerator stays true FLOPs/peak
         t_mem += tm
         t_total += max(tf, tm)
 
@@ -200,7 +202,7 @@ def unet2d_roofline_seconds(
         f = batch * _conv(h, h, c_in, c_out, k=k, stride=stride)
         b = (px(h) * c_in + px(h // stride) * c_out) * act_bytes
         b += fused_eltwise * px(h) * c_in * act_bytes
-        add(f, b)
+        add(f, b, lane_cap=min(1.0, c_out / 128))
 
     res = s
     conv(res, cin, chans[0], fused_eltwise=0)

@@ -54,8 +54,10 @@ def test_speed_of_light_and_roofline_bounds():
     sol = unet2d_speed_of_light(cfg)
     assert 0.0 < sol <= 1.0
     r = unet2d_roofline_seconds(cfg, batch=8)
-    # Roofline time is at least the pure-FLOPs time and at most their sum.
+    # Roofline time is at least the pure-FLOPs time; the upper bound is the
+    # lane-capped MXU time (== t_flops/sol, since sum(tf/cap) = t_flops/sol)
+    # plus the memory time.
     assert r["t_flops_only_s"] <= r["t_roofline_s"] <= (
-        r["t_flops_only_s"] + r["t_mem_only_s"]
+        r["t_flops_only_s"] / sol + r["t_mem_only_s"]
     )
     assert 0.0 < r["mfu_ceiling"] <= sol
