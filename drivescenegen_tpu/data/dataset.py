@@ -254,6 +254,14 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
         part = np.ascontiguousarray(full[i : i + up_chunk])
         data = _write(data, jax.device_put(part, sharding), i)
         i += up_chunk
+        # logger (not print): lands in the trainer's rotating log file, so
+        # the supervise stall watchdog sees liveness during the ~20-min
+        # upload over a narrow device link.
+        import logging
+
+        logging.getLogger("data").info(
+            f"dataset_to_device: uploaded {min(i, n)}/{n}"
+        )
         print(f"dataset_to_device: uploaded {min(i, n)}/{n}", flush=True)
     data.block_until_ready()
     gb = data.size * data.dtype.itemsize / 1e9

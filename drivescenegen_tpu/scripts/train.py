@@ -85,7 +85,9 @@ def save_sample_image(params, model, schedule, cfg, out_dir: str, seed: int,
 
 
 def supervise(cmd, retries: int, health_check, sleep_s: float = 60.0,
-              max_wait_s: float = 7200.0, resume_cmd=None) -> int:
+              max_wait_s: float = 7200.0, resume_cmd=None,
+              progress_path: str | None = None,
+              stall_s: float = 1800.0) -> int:
     """Failure-recovery wrapper: run `cmd` (a subprocess argv list), and on a
     non-zero exit — e.g. the remote TPU worker crashing mid-run — wait until
     `health_check()` reports the device is back, then relaunch (with
@@ -95,13 +97,46 @@ def supervise(cmd, retries: int, health_check, sleep_s: float = 60.0,
     The trainer's full-state checkpoints make each relaunch a true resume,
     so an infra fault costs at most the steps since the last save
     (SURVEY.md §5, failure detection/recovery). Returns the final exit
-    code."""
+    code.
+
+    A dead tunnel doesn't always kill the client: a device op can block on a
+    futex forever with the child process alive (observed live: worker died
+    mid-run, child sat 20+ min at 0% CPU and the step log stopped). When
+    `progress_path` is given (the trainer's log dir), the newest-file mtime
+    under it is a liveness signal; no progress for `stall_s` seconds kills
+    the child and treats it as a crash, entering the same health-wait +
+    resume path."""
+    import glob as _glob
     import subprocess
     import time as _time
 
+    def _progress_mtime() -> float:
+        files = _glob.glob(os.path.join(progress_path, "*")) if progress_path else []
+        return max((os.path.getmtime(f) for f in files), default=0.0)
+
+    def _run(argv) -> int:
+        proc = subprocess.Popen(argv)
+        if not progress_path:
+            return proc.wait()
+        deadline_base = _time.time()
+        while True:
+            try:
+                return proc.wait(timeout=30.0)
+            except subprocess.TimeoutExpired:
+                pass
+            last = max(_progress_mtime(), deadline_base)
+            if _time.time() - last > stall_s:
+                logger.error(
+                    f"no training progress for {stall_s:.0f}s with the child "
+                    f"alive (hung device op?); killing pid {proc.pid}"
+                )
+                proc.kill()
+                proc.wait()
+                return -9
+
     attempt = 0
     while True:
-        rc = subprocess.call(cmd)
+        rc = _run(cmd)
         if rc == 0 or attempt >= retries:
             return rc
         attempt += 1
@@ -174,8 +209,14 @@ def main(argv=None):
             cleaned.append(a)
         cmd = [sys.executable, "-m", "drivescenegen_tpu.scripts.train"] + cleaned
         resume_cmd = cmd if "--resume" in cleaned else cmd + ["--resume"]
+        # Liveness signal for the stall watchdog: the trainer's rotating log
+        # dir (a step line lands every log_every steps).
+        _scfg = load_config(args.cfg_file, {
+            "train": {"output_dir": args.output_dir} if args.output_dir else {}
+        })
         raise SystemExit(
-            supervise(cmd, args.supervise, _device_healthy, resume_cmd=resume_cmd)
+            supervise(cmd, args.supervise, _device_healthy, resume_cmd=resume_cmd,
+                      progress_path=os.path.join(_scfg.train.output_dir, "logs"))
         )
 
     from drivescenegen_tpu.utils.profiling import enable_compilation_cache

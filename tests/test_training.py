@@ -139,3 +139,44 @@ def test_supervise_gives_up_after_budget(tmp_path):
     cmd = [sys.executable, "-c", "import sys; sys.exit(3)"]
     rc = supervise(cmd, retries=2, health_check=lambda: True, sleep_s=0.01)
     assert rc == 3
+
+
+def test_supervise_kills_hung_child_on_stalled_progress(tmp_path):
+    """A child that hangs without exiting (dead device tunnel: futex-wait at
+    0% CPU, step log frozen) is killed once the progress dir goes stale for
+    stall_s, and treated as a crash."""
+    import sys
+    import time
+
+    from drivescenegen_tpu.scripts.train import supervise
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "drivescenegen.log").write_text("step 1\n")
+    t0 = time.time()
+    cmd = [sys.executable, "-c", "import time; time.sleep(600)"]
+    rc = supervise(cmd, retries=0, health_check=lambda: True,
+                   progress_path=str(logs), stall_s=0.5)
+    assert rc == -9
+    assert time.time() - t0 < 120  # killed by the watchdog, not wait()
+
+
+def test_supervise_waits_while_progress_advances(tmp_path):
+    """Fresh mtimes under progress_path keep the watchdog quiet; a clean
+    exit is returned normally."""
+    import sys
+
+    from drivescenegen_tpu.scripts.train import supervise
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    # Child writes progress itself then exits 0.
+    cmd = [sys.executable, "-c",
+           "import pathlib,time\n"
+           "p = pathlib.Path(%r)/'drivescenegen.log'\n"
+           "for i in range(3):\n"
+           "    p.write_text(str(i)); time.sleep(0.2)\n"
+           % str(logs)]
+    rc = supervise(cmd, retries=0, health_check=lambda: True,
+                   progress_path=str(logs), stall_s=3600.0)
+    assert rc == 0
