@@ -1,0 +1,85 @@
+#!/bin/sh
+# Round-3 final harvest — run AFTER the flagship continuation reaches its
+# final step (tools/watch_and_harvest.sh invokes this unattended). Stages
+# are separately resumable; each skips itself if its output already exists.
+set -x
+cd "$(dirname "$0")/.."
+
+CFG=drivescenegen_tpu/configs/flagship_256_r3.yaml
+
+# 0. Spacing A/B at the north-star setting (DDIM-50 eta=0): 64 scenes each;
+#    the spacing with the lower noise-rejection rate wins the 5k run.
+for SP in leading trailing; do
+  [ -f outputs/flagship/ab_r3_${SP}/vectorization_stats.json ] && continue
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/ab_r3_${SP} \
+      --num_scenes 64 --batch_size 8 --sampler ddim --steps 50 --eta 0 \
+      --spacing ${SP} --n_workers 1 2>&1 | tail -3
+done
+SPACING=$(python - <<'EOF'
+import json
+best, best_rej = "trailing", 1e9
+for sp in ("leading", "trailing"):
+    try:
+        s = json.load(open(f"outputs/flagship/ab_r3_{sp}/vectorization_stats.json"))
+        rej = (s["n_rejected"] + s["n_failed"]) / max(s["n_images"], 1)
+    except Exception:
+        continue
+    if rej < best_rej:
+        best, best_rej = sp, rej
+print(best)
+EOF
+)
+echo "A/B winner: spacing=$SPACING"
+
+# 1. Fused 5k at DDIM-50 eta=0 (the north-star sampler setting).
+if [ ! -f outputs/flagship/e2e5k_r3/vectorization_stats.json ]; then
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/e2e5k_r3 \
+      --num_scenes 5120 --batch_size 8 --sampler ddim --steps 50 --eta 0 \
+      --spacing "$SPACING" \
+      --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r3.log | tail -3
+fi
+
+# 1b. Quality fallback: if DDIM-50 eta=0 still rejects >15% as speckle, also
+#     harvest at DDIM-100 eta=1 (the r2 quality sampler) so the metrics table
+#     has a usable model-vs-GT read either way. ~28 min of chip.
+NEED_FALLBACK=$(python - <<'EOF'
+import json
+try:
+    s = json.load(open("outputs/flagship/e2e5k_r3/vectorization_stats.json"))
+    print(1 if (s["n_rejected"] + s["n_failed"]) / max(s["n_images"], 1) > 0.15 else 0)
+except Exception:
+    print(0)
+EOF
+)
+if [ "$NEED_FALLBACK" = "1" ] && [ ! -f outputs/flagship/e2e5k_r3q/vectorization_stats.json ]; then
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/e2e5k_r3q \
+      --num_scenes 5120 --batch_size 8 --sampler ddim --steps 100 --eta 1 \
+      --spacing "$SPACING" \
+      --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r3q.log | tail -3
+fi
+
+# 2. Config-5 @128: 20k steps on the chip (decoded-corpus sidecar prebuilt
+#    host-side by tools/watch_and_harvest.sh's round-3 session).
+if [ ! -d outputs/cond128/model/params ]; then
+  python -m drivescenegen_tpu.scripts.train \
+      --cfg_file drivescenegen_tpu/configs/config5_cond_128.yaml \
+      --max_steps 20000 --supervise 4 2>&1 | tail -5
+fi
+
+# 3. CFG guidance sweep eval for config-5.
+if [ ! -f outputs/cond128/cfg_eval.json ]; then
+  python -m drivescenegen_tpu.scripts.eval_cond_agents \
+      --cfg_file drivescenegen_tpu/configs/config5_cond_128.yaml \
+      --raster_dir outputs/cond128/heldout_ras/GT_70k_s80_dxdy_agents_img \
+      --guidance 1,2,3,5 --num 128 \
+      --json_out outputs/cond128/cfg_eval.json 2>&1 | tail -8
+fi
+
+# 4. Headline bench (warm compile cache).
+python bench.py | tee BENCH_local_r3.json
