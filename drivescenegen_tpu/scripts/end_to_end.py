@@ -3,16 +3,23 @@ vectorize finished batches CONCURRENTLY.
 
 The reference runs scripts/generation.py to completion, then
 scripts/vectorization.py — a serial GPU-then-CPU pipeline. Here the two
-stages overlap: per batch N the sampler for batch N+1 is dispatched first
-(async), then the host blocks on batch N's pixels, saves PNGs, runs one
-batched TPU skeletonization call (queued on the device behind the sampler,
-so the chip never idles), and enqueues the irregular per-image graph passes
-to spawned CPU workers. End-to-end wall clock for 5k scenes is therefore
-~max(sampling, vectorization) + one batch tail, instead of their sum.
+stages overlap, and the per-batch device work is ONE jitted call: sample,
+quantize to uint8, lane-mask (ops/lane_mask.py — integer-exact vs the host
+path), skeletonize, and bit-pack the skeletons. Per batch N the call for
+batch N+1 is dispatched first (async), then the host copies batch N's
+(pixels, packed skeletons) off the device — ~1.6 MB per 8 scenes on the
+narrow link — and enqueues the irregular per-image graph passes (plus the
+PNG encode) to spawned CPU workers. End-to-end wall clock for 5k scenes is
+therefore ~max(sampling+skeletonize, host vectorization) + one batch tail,
+instead of their sum. (An earlier revision computed masks on host and
+shipped them BACK to the chip for skeletonization, and blocked each drain
+on a skeletonize queued behind the next batch's full sampler — measured
+3.2 scenes/s against the sampler's own 6.15.)
 
 Artifacts match the two-stage path bit for bit: PNGs are quantized before
-the lane mask is computed, so the skeletons equal what vectorization.py
-would derive from the saved files.
+the lane mask is computed, the device mask is integer-exact against
+get_lane_mask (tests/test_lane_mask_device.py), so the skeletons equal what
+vectorization.py would derive from the saved files.
 
   python -m drivescenegen_tpu.scripts.end_to_end --model_dir <dir> \
       --output_dir <dir> --num_scenes 5000 --n_workers 2
@@ -51,9 +58,14 @@ def _pool_init(vcfg, dirs):
 
 
 def _pool_entry(job):
-    img_id, path, skel = job
+    img_id, path, skel, pixels = job
     from drivescenegen_tpu.scripts.vectorization import process_one
 
+    if pixels is not None:
+        # PNG encode happens here, off the sampler loop's critical path.
+        from PIL import Image
+
+        Image.fromarray(pixels).save(path)
     return process_one(img_id, path, skel, _POOL_STATE["vcfg"], _POOL_STATE["dirs"])
 
 
@@ -75,10 +87,10 @@ def main(argv=None):
     parser.add_argument("--n_workers", default=2, type=int)
     args = parser.parse_args(argv)
 
+    from drivescenegen_tpu.ops.lane_mask import lane_mask_batch
     from drivescenegen_tpu.ops.morphology import skeletonize_batch
     from drivescenegen_tpu.scripts.generation import load_model_for_sampling
     from drivescenegen_tpu.utils.profiling import enable_compilation_cache
-    from drivescenegen_tpu.vectorize.image_utils import get_lane_mask
 
     enable_compilation_cache()
 
@@ -116,22 +128,51 @@ def main(argv=None):
     def denoise(x, t):
         return model.apply(params, x, t)
 
-    if args.sampler == "ddim":
-        import functools
+    import functools
 
+    if args.sampler == "ddim":
         eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
         fn = functools.partial(ddim_sample, eta=eta, spacing=args.spacing)
     else:
         fn = ddpm_sample
+
+    # Batch-parallel over the data mesh axis, exactly like scripts.generation:
+    # constraining the outputs propagates the sharding back through the scan,
+    # so each chip samples+skeletonizes its slice of the batch. Keeping the
+    # two paths' compiled programs identical is also what makes their PNGs
+    # byte-identical (tests/test_cli.py::test_fused_and_two_stage_paths...).
+    from drivescenegen_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(cfg.mesh)
+    n_data = mesh.shape["data"]
+    if batch % n_data != 0:
+        batch = max(n_data, (batch // n_data) * n_data)
+        logger.info(f"rounded batch to {batch} (data axis {n_data})")
     shape = (batch, res, res, cfg.model.out_channels)
 
-    @jax.jit
+    _BIT_W = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=(batch_sharding(mesh, 4), batch_sharding(mesh, 3)),
+    )
     def run(key):
-        # Quantize to uint8 ON DEVICE: the samples leave the chip 4x
-        # smaller, which matters on a narrow device link (measured ~6 MB/s
-        # here — a float32 batch costs ~1 s of D2H per 8 scenes).
+        # The whole per-batch device pipeline in one call. Quantize to uint8
+        # on device (samples leave the chip 4x smaller — the link sustains
+        # ~6 MB/s), lane-mask with the integer-exact kernel, skeletonize,
+        # and bit-pack the skeletons 8x (np.unpackbits on the host side).
         x = fn(denoise, schedule, shape, key, steps)
-        return jnp.round(jnp.clip(x / 2 + 0.5, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        q = jnp.round(jnp.clip(x / 2 + 0.5, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        # transpose(0,2,1) mirrors the host path's get_lane_mask(...).T
+        # ([x][y]-indexed skeletons).
+        skel = skeletonize_batch(lane_mask_batch(q).transpose(0, 2, 1))
+        bsz, sh, sw = skel.shape
+        packed = jnp.sum(
+            skel.reshape(bsz, sh, sw // 8, 8).astype(jnp.uint8) * _BIT_W,
+            axis=-1,
+            dtype=jnp.uint8,
+        )
+        return q, packed
 
     # Host workers (spawn, TPU-plugin env scrubbed — see vectorization.main).
     saved_env = {}
@@ -163,52 +204,47 @@ def main(argv=None):
 
     results = pool.imap_unordered(_pool_entry, jobs(), chunksize=1)
 
-    from PIL import Image
-
     n_enqueued = 0
 
-    def drain(num: int, imgs) -> None:
-        """Block on batch `num`'s pixels, save PNGs, skeletonize on-device,
-        hand the graph passes to the workers."""
+    def drain(num: int, handles) -> None:
+        """Copy batch `num`'s (pixels, packed skeletons) off the device —
+        both were computed inside run() — and hand PNG encode + graph passes
+        to the workers."""
         nonlocal n_enqueued
-        quant = np.asarray(imgs)  # uint8 straight off the device
+        quant, packed = (np.asarray(h) for h in handles)
+        skels = np.unpackbits(packed, axis=-1).astype(bool)
         keep = min(batch, args.num_scenes - num * batch)
-        quant = quant[:keep]
-        # Lane masks from the QUANTIZED pixels (identical to reloading the
-        # PNG, so skeletons match the two-stage path bit for bit).
-        masks = np.stack(
-            [get_lane_mask(q.astype(np.float32) / 255.0).T for q in quant]
-        )
-        if masks.shape[0] < batch:  # pad: one compiled executable for all
-            masks = np.concatenate(
-                [masks, np.zeros((batch - masks.shape[0], *masks.shape[1:]), bool)]
-            )
-        skel_dev = skeletonize_batch(jnp.asarray(masks))  # queued behind sampler
-        paths = []
         for i in range(keep):
             p = os.path.join(png_dir, f"loop_{num:03d}_batch_{i:03d}.png")
-            Image.fromarray(quant[i]).save(p)
-            paths.append(p)
-        skels = np.asarray(skel_dev)[:keep]
-        for i, p in enumerate(paths):
-            job_q.put((num * batch + i, p, skels[i]))
+            job_q.put((num * batch + i, p, skels[i], quant[i]))
             n_enqueued += 1
 
     t0 = time.perf_counter()
     n_batches = (args.num_scenes + batch - 1) // batch
     pending = None
-    for num in range(n_batches):
-        current = (num, run(jax.random.fold_in(jax.random.key(args.seed), num)))
-        if pending is not None:
-            drain(*pending)
-        pending = current
-        if num == 0:
-            current[1].block_until_ready()
-            logger.info(
-                f"first batch ({batch}) in {time.perf_counter() - t0:.1f}s "
-                f"incl. compile"
+    try:
+        for num in range(n_batches):
+            current = (
+                num, run(jax.random.fold_in(jax.random.key(args.seed), num))
             )
-    drain(*pending)
+            if pending is not None:
+                drain(*pending)
+            pending = current
+            if num == 0:
+                jax.block_until_ready(current[1])
+                logger.info(
+                    f"first batch ({batch}) in {time.perf_counter() - t0:.1f}s "
+                    f"incl. compile"
+                )
+        drain(*pending)
+    except BaseException:
+        # Without this, a sampling/compile error leaves the pool's
+        # non-daemon worker threads alive and the interpreter (or a pytest
+        # run hosting several CLI invocations) hangs on exit.
+        job_q.put(None)
+        pool.terminate()
+        pool.join()
+        raise
     sampling_wall = time.perf_counter() - t0
     logger.info(
         f"sampling done: {n_enqueued} scenes in {sampling_wall:.1f}s "

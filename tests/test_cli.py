@@ -118,3 +118,54 @@ def test_end_to_end_fused_pipeline(tmp_path):
     assert stats["n_ok"] + stats["n_rejected"] + stats["n_failed"] == 3
     for sub in ("vectorized", "graph", "agent"):
         assert (out / sub).is_dir()
+
+
+def test_fused_and_two_stage_paths_are_byte_identical(tmp_path):
+    """Same model + seed through scripts.generation and the fused
+    scripts.end_to_end must write byte-identical PNGs: generation quantizes
+    on the host from device floats, end_to_end quantizes on device — the
+    round/clip arithmetic is IEEE-identical, and all downstream artifacts
+    (masks, skeletons, graphs) derive from these bytes."""
+    import glob
+
+    from drivescenegen_tpu.scripts import end_to_end, generation, train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  sample_size: 16\n  block_out_channels: [8, 16]\n"
+        "  layers_per_block: 1\n  norm_num_groups: 4\n  attention_head_dim: 8\n"
+        "  dtype: float32\n"
+        f"train:\n  batch_size: 8\n  output_dir: {tmp_path}/out\n"
+        f"  dataset_glob: '{d}/*.png'\n  ema_decay: 0.0\n"
+    )
+    train.main(["--cfg_file", str(cfg), "--max_steps", "1"])
+
+    gen_dir = tmp_path / "gen"
+    generation.main([
+        "--cfg_file", str(cfg), "--model_dir", f"{tmp_path}/out",
+        "--output_dir", str(gen_dir), "--num_batches", "1", "--batch_size", "8",
+        "--sampler", "ddim", "--steps", "2", "--seed", "5",
+    ])
+    e2e_dir = tmp_path / "e2e"
+    end_to_end.main([
+        "--cfg_file", str(cfg), "--model_dir", f"{tmp_path}/out",
+        "--output_dir", str(e2e_dir), "--num_scenes", "8", "--batch_size", "8",
+        "--steps", "2", "--seed", "5", "--n_workers", "1",
+    ])
+    gen_pngs = sorted(glob.glob(str(gen_dir / "*.png")))
+    e2e_pngs = sorted(glob.glob(str(e2e_dir / "diffusion" / "*.png")))
+    assert len(gen_pngs) == len(e2e_pngs) == 8
+    for g, e in zip(gen_pngs, e2e_pngs):
+        # Compare decoded pixels (PNG encoder settings may differ between
+        # save sites; the artifact contract is the pixel values).
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(g)), np.asarray(Image.open(e)),
+            err_msg=f"{g} vs {e}",
+        )
