@@ -32,7 +32,34 @@ def _throughput(sample_fn, key, batch, n_iters=3):
     return batch / dt, dt
 
 
+def _device_reachable(timeout_s: int = 300) -> bool:
+    """Probe backend health in a SUBPROCESS with a hard timeout. When the
+    TPU tunnel/worker is down, merely discovering the backend blocks
+    indefinitely (jax.devices() never returns), which would hang the whole
+    benchmark run; a bounded child turns that into a fast, loud failure.
+    300 s covers a healthy-but-cold tunnel negotiation."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as j; "
+             "j.ones(4).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        raise SystemExit(
+            "bench: device backend unreachable (probe subprocess timed out "
+            "or crashed) — the TPU tunnel/worker is down; refusing to hang."
+        )
+
     from drivescenegen_tpu.config import DiffusionConfig, ModelConfig
     from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
     from drivescenegen_tpu.models import UNet2D
