@@ -74,6 +74,13 @@ class ModelConfig:
     # (293 vs 120 GB/s at the 256x256x64 layer, ties elsewhere) — see
     # ops/pallas/group_norm.py. Kept as working kernel infrastructure.
     use_pallas_gn: bool = False
+    # Up-path skip-concat elimination: feed (h, skip) into the resnet and
+    # split GroupNorm/conv1/shortcut along the input-channel dim instead of
+    # materializing the full-resolution concat (models/unet2d.py
+    # SplitInputConv). Checkpoint-compatible both ways; numerics equal to
+    # float reassociation. Off by default pending a real-chip A/B
+    # (docs/PERF_ANALYSIS.md "candidate levers").
+    split_skip_conv: bool = False
 
 
 @dataclass

@@ -68,23 +68,82 @@ class GroupNormSiLU(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None):
+        """Normal mode: GN+SiLU over x. Pair mode (x2 given): numerically
+        the GN+SiLU of concat(x, x2) WITHOUT materializing the concat,
+        returned as the two halves (for SplitInputConv). Group statistics
+        are folded from per-channel partial sums, so groups may straddle
+        the input boundary (they do in real up blocks, e.g. 512+256
+        channels under 32 groups). Parameters are the full-width
+        {scale, bias} either way, so checkpoints are shared."""
         from drivescenegen_tpu.ops.pallas.group_norm import (
             fused_group_norm_silu,
             reference_group_norm_silu,
+            reference_group_norm_silu_multi,
         )
 
-        C = x.shape[-1]
+        C = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        if self.use_pallas and jax.devices()[0].platform == "tpu":
-            return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
-        return reference_group_norm_silu(x, scale, bias, self.groups, self.eps)
+
+        if x2 is None:
+            if self.use_pallas and jax.devices()[0].platform == "tpu":
+                return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
+            return reference_group_norm_silu(x, scale, bias, self.groups, self.eps)
+        return reference_group_norm_silu_multi(
+            (x, x2), scale, bias, self.groups, self.eps
+        )
+
+
+class SplitInputConv(nn.Module):
+    """nn.Conv(SAME) over concat(a, b) without materializing the concat:
+    conv(concat(a, b), K) == conv(a, K[:, :, :Ca]) + conv(b, K[:, :, Ca:]).
+    Parameter names ({kernel, bias}), shapes, dtypes, and initializers match
+    nn.Conv exactly, so checkpoints are interchangeable with the concat
+    path. Saves the full-resolution concat tensor's HBM round trip on the
+    UNet up path (docs/PERF_ANALYSIS.md, "skip-concat elimination")."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        in_c = a.shape[-1] + b.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_c, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        a, b, kernel, bias = nn.dtypes.promote_dtype(
+            a, b, kernel, bias, dtype=self.dtype
+        )
+        ca = a.shape[-1]
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, kernel[:, :, :ca, :].shape, ("NHWC", "HWIO", "NHWC")
+        )
+        ya = jax.lax.conv_general_dilated(
+            a, kernel[:, :, :ca, :], (1, 1), "SAME", dimension_numbers=dn
+        )
+        yb = jax.lax.conv_general_dilated(
+            b, kernel[:, :, ca:, :], (1, 1), "SAME", dimension_numbers=dn
+        )
+        return ya + yb + bias
 
 
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> conv -> (+time) -> GroupNorm -> SiLU -> conv,
-    with a 1x1 shortcut when channel counts change (diffusers ResnetBlock2D)."""
+    with a 1x1 shortcut when channel counts change (diffusers ResnetBlock2D).
+
+    Pair mode (`skip` given): consumes what would be concat(x, skip) without
+    building the concat — GroupNorm splits per input (groups never straddle
+    the boundary) and conv1/shortcut split their kernels along the
+    input-channel dim (SplitInputConv). Same parameters either way."""
 
     out_channels: int
     groups: int = 32
@@ -93,11 +152,25 @@ class ResnetBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, temb: jax.Array, deterministic: bool = True):
-        in_channels = x.shape[-1]
-        h = GroupNormSiLU(self.groups, dtype=self.dtype,
-                          use_pallas=self.use_pallas, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: jax.Array,
+        deterministic: bool = True,
+        skip: Optional[jax.Array] = None,
+    ):
+        norm1 = GroupNormSiLU(self.groups, dtype=self.dtype,
+                              use_pallas=self.use_pallas, name="norm1")
+        if skip is None:
+            in_channels = x.shape[-1]
+            h = norm1(x)
+            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        else:
+            in_channels = x.shape[-1] + skip.shape[-1]
+            ha, hb = norm1(x, skip)
+            h = SplitInputConv(
+                self.out_channels, (3, 3), dtype=self.dtype, name="conv1"
+            )(ha, hb)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
@@ -109,7 +182,14 @@ class ResnetBlock(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
+            if skip is None:
+                x = nn.Conv(
+                    self.out_channels, (1, 1), dtype=self.dtype, name="shortcut"
+                )(x)
+            else:
+                x = SplitInputConv(
+                    self.out_channels, (1, 1), dtype=self.dtype, name="shortcut"
+                )(x, skip)
         return x + h
 
 
@@ -264,14 +344,21 @@ class UNet2D(nn.Module):
         )(h)
         h = ResnetBlock(channels[-1], name="mid_res_1", **res_kw)(h, temb, deterministic)
 
-        # Up path (mirrored, layers_per_block+1 resnets with skip concat).
+        # Up path (mirrored, layers_per_block+1 resnets with skip concat;
+        # split_skip_conv feeds the pair straight into the resnet so the
+        # full-resolution concat never hits HBM — same params, same math).
         for i, ch in enumerate(reversed(channels)):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **res_kw)(
-                    h, temb, deterministic
-                )
+                if cfg.split_skip_conv:
+                    h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **res_kw)(
+                        h, temb, deterministic, skip=skip
+                    )
+                else:
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **res_kw)(
+                        h, temb, deterministic
+                    )
             if i != n_blocks - 1:
                 h = Upsample(ch, dtype=dtype, name=f"up_{i}_upsample")(h)
 

@@ -143,6 +143,55 @@ def fused_group_norm_silu(
     return out.reshape(orig_shape)
 
 
+def reference_group_norm_silu_multi(xs, scale, bias, groups=32, eps=1e-6):
+    """GN+SiLU of concat(xs, axis=-1) WITHOUT materializing the concat,
+    returned as a tuple of per-input tensors.
+
+    Group statistics are per-channel partial sums folded jointly, so groups
+    may freely straddle input boundaries (they do in real UNet up blocks:
+    512 h-channels + 256 skip-channels under 32 groups is a group size of
+    24). Only [B, C]-sized stat vectors are ever concatenated. Numerics
+    match reference_group_norm_silu(concat(xs)) exactly (same reduction
+    structure per channel, same fold)."""
+    B = xs[0].shape[0]
+    C = sum(x.shape[-1] for x in xs)
+    cpg = C // groups
+    n_tokens = 1
+    for d in xs[0].shape[1:-1]:
+        n_tokens *= d
+
+    ch_sums, ch_sqs = [], []
+    for x in xs:
+        xf = x.astype(jnp.float32).reshape(B, -1, x.shape[-1])
+        ch_sums.append(xf.sum(axis=1))
+        ch_sqs.append((xf * xf).sum(axis=1))
+    ch_sum = jnp.concatenate(ch_sums, axis=-1)  # [B, C] — tiny
+    ch_sq = jnp.concatenate(ch_sqs, axis=-1)
+    g_sum = ch_sum.reshape(B, groups, cpg).sum(axis=-1)
+    g_sq = ch_sq.reshape(B, groups, cpg).sum(axis=-1)
+    count = n_tokens * cpg
+    mean_g = g_sum / count
+    var_g = jnp.maximum(g_sq / count - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    inv_c = jnp.repeat(inv_g, cpg, axis=-1)  # [B, C]
+    mean_c = jnp.repeat(mean_g, cpg, axis=-1)
+    sf = scale.astype(jnp.float32)[None, :]
+    mul_full = inv_c * sf
+    add_full = bias.astype(jnp.float32)[None, :] - mean_c * inv_c * sf
+
+    outs = []
+    off = 0
+    for x in xs:
+        ci = x.shape[-1]
+        mul = mul_full[:, off:off + ci].astype(x.dtype)
+        add = add_full[:, off:off + ci].astype(x.dtype)
+        off += ci
+        bshape = (B,) + (1,) * (x.ndim - 2) + (ci,)
+        outs.append(jax.nn.silu(x * mul.reshape(bshape) + add.reshape(bshape)))
+    return tuple(outs)
+
+
 def reference_group_norm_silu(x, scale, bias, groups=32, eps=1e-6):
     """Pure-jnp reference (identical math to flax GroupNorm + silu), laid
     out for the TPU:

@@ -83,3 +83,8 @@ fi
 
 # 4. Headline bench (warm compile cache).
 python bench.py | tee BENCH_local_r3.json
+
+# 5. Chip-gated perf probes: per-op microbench (fills the PERF_ANALYSIS
+#    table) and the split-skip-concat A/B (tools/probe_sweep.py "split").
+python tools/stage_microbench.py 8 > outputs/microbench_r3.md 2>&1
+python tools/probe_sweep.py split 2>&1 | tee outputs/probe_sweep_r3c.log

@@ -81,5 +81,13 @@ if __name__ == "__main__":
 
         pgn = dataclasses.replace(base, use_pallas_gn=True)
         bench_one("pallas groupnorm", pgn, 8)
+    if which in ("all", "split"):
+        import dataclasses
+
+        # Skip-concat elimination (docs/PERF_ANALYSIS.md candidate lever 1):
+        # checkpoint-compatible; numerics-equivalence tests in
+        # tests/test_split_skip_conv.py.
+        split = dataclasses.replace(base, split_skip_conv=True)
+        bench_one("split skip-concat", split, 8)
     if which == "trace":
         bench_one("baseline for trace", base, 8, trace_dir="outputs/trace_b8")
