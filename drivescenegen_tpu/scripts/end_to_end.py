@@ -85,6 +85,11 @@ def main(argv=None):
                         help="DDIM timestep spacing (see generation --spacing)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--n_workers", default=2, type=int)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip sampling for batches whose PNGs are all "
+                             "on disk (crash recovery for long runs); their "
+                             "images are still vectorized, so the stats "
+                             "stay complete")
     args = parser.parse_args(argv)
 
     from drivescenegen_tpu.ops.lane_mask import lane_mask_batch
@@ -165,14 +170,41 @@ def main(argv=None):
         q = jnp.round(jnp.clip(x / 2 + 0.5, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         # transpose(0,2,1) mirrors the host path's get_lane_mask(...).T
         # ([x][y]-indexed skeletons).
+        return q, _skel_pack(q)
+
+    def _skel_pack(q):
         skel = skeletonize_batch(lane_mask_batch(q).transpose(0, 2, 1))
         bsz, sh, sw = skel.shape
-        packed = jnp.sum(
+        return jnp.sum(
             skel.reshape(bsz, sh, sw // 8, 8).astype(jnp.uint8) * _BIT_W,
             axis=-1,
             dtype=jnp.uint8,
         )
-        return q, packed
+
+    # Crash recovery: a batch whose PNGs are all on disk skips the sampler —
+    # pixels reload from the files (byte-identical by the determinism the
+    # parity test pins) and only the cheap mask+skeleton call runs on device.
+    skel_only = jax.jit(_skel_pack, out_shardings=batch_sharding(mesh, 3))
+
+    def try_resume(num: int):
+        if not args.resume:
+            return None
+        keep = min(batch, args.num_scenes - num * batch)
+        from PIL import Image
+
+        pixels = []
+        try:
+            for i in range(keep):
+                p = os.path.join(png_dir, f"loop_{num:03d}_batch_{i:03d}.png")
+                pixels.append(np.asarray(Image.open(p).convert("RGB")))
+        except (FileNotFoundError, OSError):
+            return None  # missing or truncated (killed mid-write): resample
+        q = np.stack(pixels)
+        if q.shape[0] < batch:  # pad: one compiled executable for all batches
+            q = np.concatenate(
+                [q, np.zeros((batch - q.shape[0], *q.shape[1:]), np.uint8)]
+            )
+        return q, skel_only(jnp.asarray(q))
 
     # Host workers (spawn, TPU-plugin env scrubbed — see vectorization.main).
     saved_env = {}
@@ -206,26 +238,35 @@ def main(argv=None):
 
     n_enqueued = 0
 
-    def drain(num: int, handles) -> None:
+    def drain(num: int, handles, resumed: bool = False) -> None:
         """Copy batch `num`'s (pixels, packed skeletons) off the device —
         both were computed inside run() — and hand PNG encode + graph passes
-        to the workers."""
+        to the workers. Resumed batches already have their PNGs on disk, so
+        workers get pixels=None and read the files."""
         nonlocal n_enqueued
         quant, packed = (np.asarray(h) for h in handles)
         skels = np.unpackbits(packed, axis=-1).astype(bool)
         keep = min(batch, args.num_scenes - num * batch)
         for i in range(keep):
             p = os.path.join(png_dir, f"loop_{num:03d}_batch_{i:03d}.png")
-            job_q.put((num * batch + i, p, skels[i], quant[i]))
+            job_q.put((num * batch + i, p, skels[i],
+                       None if resumed else quant[i]))
             n_enqueued += 1
 
     t0 = time.perf_counter()
     n_batches = (args.num_scenes + batch - 1) // batch
     pending = None
+    n_resumed = 0
     try:
         for num in range(n_batches):
+            r = try_resume(num)
+            if r is not None:
+                n_resumed += 1
             current = (
-                num, run(jax.random.fold_in(jax.random.key(args.seed), num))
+                num,
+                r if r is not None
+                else run(jax.random.fold_in(jax.random.key(args.seed), num)),
+                r is not None,
             )
             if pending is not None:
                 drain(*pending)
@@ -237,6 +278,8 @@ def main(argv=None):
                     f"incl. compile"
                 )
         drain(*pending)
+        if n_resumed:
+            logger.info(f"resumed {n_resumed}/{n_batches} batches from disk")
     except BaseException:
         # Without this, a sampling/compile error leaves the pool's
         # non-daemon worker threads alive and the interpreter (or a pytest

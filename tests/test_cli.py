@@ -169,3 +169,58 @@ def test_fused_and_two_stage_paths_are_byte_identical(tmp_path):
             np.asarray(Image.open(g)), np.asarray(Image.open(e)),
             err_msg=f"{g} vs {e}",
         )
+
+
+def test_end_to_end_resume_skips_sampling(tmp_path, monkeypatch):
+    """--resume must reuse on-disk PNGs: a second run over a completed
+    output dir calls the sampler zero times and reproduces the same
+    accounting totals."""
+    import glob
+    import json
+
+    from drivescenegen_tpu.scripts import end_to_end, train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  sample_size: 16\n  block_out_channels: [8, 16]\n"
+        "  layers_per_block: 1\n  norm_num_groups: 4\n  attention_head_dim: 8\n"
+        "  dtype: float32\n"
+        f"train:\n  batch_size: 8\n  output_dir: {tmp_path}/out\n"
+        f"  dataset_glob: '{d}/*.png'\n  ema_decay: 0.0\n"
+    )
+    train.main(["--cfg_file", str(cfg), "--max_steps", "1"])
+
+    out = tmp_path / "e2e"
+    base_args = [
+        "--cfg_file", str(cfg), "--model_dir", f"{tmp_path}/out",
+        "--output_dir", str(out), "--num_scenes", "3", "--batch_size", "2",
+        "--steps", "2", "--n_workers", "1",
+    ]
+    end_to_end.main(base_args)
+    first = {
+        p: open(p, "rb").read()
+        for p in glob.glob(str(out / "diffusion" / "*.png"))
+    }
+    assert len(first) == 3
+
+    # Re-run with --resume and a booby-trapped sampler: it must not fire.
+    from drivescenegen_tpu import diffusion
+
+    def boom(*a, **k):
+        raise AssertionError("sampler called despite complete on-disk run")
+
+    monkeypatch.setattr(diffusion, "ddim_sample", boom)
+    monkeypatch.setattr(end_to_end, "ddim_sample", boom)
+    end_to_end.main(base_args + ["--resume"])
+    with open(out / "vectorization_stats.json") as f:
+        stats = json.load(f)
+    assert stats["n_images"] == 3
+    for p, data in first.items():
+        assert open(p, "rb").read() == data, f"{p} changed on resume"

@@ -33,15 +33,25 @@ EOF
 )
 echo "A/B winner: spacing=$SPACING"
 
-# 1. Fused 5k at DDIM-50 eta=0 (the north-star sampler setting).
-if [ ! -f outputs/flagship/e2e5k_r3/vectorization_stats.json ]; then
+# 1. Fused 5k at DDIM-50 eta=0 (the north-star sampler setting). Retried
+#    with --resume after TPU-worker crashes: completed batches reload from
+#    disk and skip the sampler.
+ATTEMPT=0
+while [ ! -f outputs/flagship/e2e5k_r3/vectorization_stats.json ] \
+      && [ $ATTEMPT -lt 5 ]; do
+  ATTEMPT=$((ATTEMPT + 1))
   python -m drivescenegen_tpu.scripts.end_to_end \
       --cfg_file "$CFG" \
       --output_dir outputs/flagship/e2e5k_r3 \
       --num_scenes 5120 --batch_size 8 --sampler ddim --steps 50 --eta 0 \
-      --spacing "$SPACING" \
-      --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r3.log | tail -3
-fi
+      --spacing "$SPACING" --resume \
+      --n_workers 1 2>&1 | tee -a outputs/flagship/e2e5k_r3.log | tail -3
+  [ -f outputs/flagship/e2e5k_r3/vectorization_stats.json ] && break
+  echo "e2e5k attempt $ATTEMPT failed; waiting for device health"
+  until timeout 180 python -c "import jax; jax.devices(); import jax.numpy as j; j.ones(4).sum().block_until_ready()" >/dev/null 2>&1; do
+    sleep 120
+  done
+done
 
 # 1b. Quality fallback: if DDIM-50 eta=0 still rejects >15% as speckle, also
 #     harvest at DDIM-100 eta=1 (the r2 quality sampler) so the metrics table
