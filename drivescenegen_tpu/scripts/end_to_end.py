@@ -197,9 +197,11 @@ def main(argv=None):
             for i in range(keep):
                 p = os.path.join(png_dir, f"loop_{num:03d}_batch_{i:03d}.png")
                 pixels.append(np.asarray(Image.open(p).convert("RGB")))
-        except (FileNotFoundError, OSError):
-            return None  # missing or truncated (killed mid-write): resample
+        except (OSError, ValueError):
+            return None  # missing/truncated/wrong-size: resample this batch
         q = np.stack(pixels)
+        if q.shape[1:] != (res, res, 3):
+            return None  # stale files from a different-resolution run
         if q.shape[0] < batch:  # pad: one compiled executable for all batches
             q = np.concatenate(
                 [q, np.zeros((batch - q.shape[0], *q.shape[1:]), np.uint8)]
