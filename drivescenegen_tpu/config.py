@@ -126,8 +126,13 @@ class TrainConfig:
     # Device-resident dataset: upload the whole uint8 raster set to HBM once
     # and ship only per-step index arrays (kills the host->device input
     # bottleneck on narrow links). "auto" enables it when the dataset is raw
-    # uint8 and fits a 6 GB budget; "on"/"off" force it.
+    # uint8 and fits device_data_budget_gb, and falls back to "hybrid" for
+    # larger raw corpora; "on"/"off"/"hybrid" force a mode. "hybrid" keeps a
+    # random budget-sized pool resident and streams the remainder from the
+    # sidecar mmap at a coverage-balanced per-batch ratio
+    # (data/dataset.py hybrid_index_batches).
     device_data: str = "auto"
+    device_data_budget_gb: float = 6.0
 
 
 @dataclass

@@ -198,44 +198,23 @@ def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
     return full
 
 
-def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
-    """Upload the whole dataset to device HBM as one [N, H, W, C] array.
-
-    The TPU-native answer to a narrow host->device link: a 24k-scene uint8
-    raster set is only ~4.6 GB — it fits beside the model in HBM, so it is
-    transferred ONCE and each train step ships 16 int32 indices instead of a
-    3 MB batch (the measured tunnel sustains only a few MB/s, which capped
-    training at ~2 steps/s host-bound; device-resident data removes the
-    input pipeline entirely).
-
-    The full array is assembled HOST-side and shipped as ONE device_put:
-    a per-chunk upload + jnp.concatenate briefly needs 2x the dataset in
-    HBM (the chunks plus the concatenated copy), which for a 7.9 GB corpus
-    next to the model state overflows a 16 GB v5e. Host RAM is the cheap
-    side (chunked decode keeps the PNG->array staging bounded)."""
+def array_to_device(full: np.ndarray, mesh, label: str = "dataset_to_device"):
+    """Ship a host array (often a sidecar mmap) to device HBM in ~200 MB
+    chunks via a donated dynamic_update_slice buffer — one giant device_put
+    stalls the narrow axon tunnel (>35 min observed for 7.9 GB) and chunked
+    put + concatenate transiently needs 2x the corpus in HBM."""
     import time as _time
 
     import jax
+    import jax.numpy as jnp
+    from functools import partial
 
     from drivescenegen_tpu.parallel.mesh import replicated
 
     t0 = _time.perf_counter()
-    full = decoded_corpus(dataset, chunk=chunk)
-    n = len(dataset)
-    sample0 = dataset[0]
-    t_dec = _time.perf_counter() - t0
-
-    # Ship in ~200 MB chunks into a donated device buffer: one giant
-    # device_put stalls the narrow axon tunnel (>35 min observed for
-    # 7.9 GB, vs ~200 MB chunks streaming fine), while chunked put +
-    # jnp.concatenate transiently needs 2x the corpus in HBM. Donated
-    # dynamic_update_slice keeps peak HBM at corpus + one chunk and one
-    # compiled program reused for every full chunk.
-    import jax.numpy as jnp
-    from functools import partial
-
+    n = full.shape[0]
     sharding = replicated(mesh)
-    bytes_per = int(np.prod(sample0.shape)) * sample0.dtype.itemsize
+    bytes_per = int(np.prod(full.shape[1:])) * full.dtype.itemsize
     up_chunk = max(1, min(n, (200 * 1024 * 1024) // max(bytes_per, 1)))
 
     @partial(jax.jit, donate_argnums=0)
@@ -243,7 +222,7 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
         return jax.lax.dynamic_update_slice_in_dim(buf, part, start, axis=0)
 
     data = jax.device_put(
-        jnp.zeros((n, *sample0.shape), dtype=sample0.dtype), sharding
+        jnp.zeros((n, *full.shape[1:]), dtype=full.dtype), sharding
     )
     i = 0
     while i < n:
@@ -259,17 +238,89 @@ def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
         # upload over a narrow device link.
         import logging
 
-        logging.getLogger("data").info(
-            f"dataset_to_device: uploaded {min(i, n)}/{n}"
-        )
-        print(f"dataset_to_device: uploaded {min(i, n)}/{n}", flush=True)
+        logging.getLogger("data").info(f"{label}: uploaded {min(i, n)}/{n}")
+        print(f"{label}: uploaded {min(i, n)}/{n}", flush=True)
     data.block_until_ready()
     gb = data.size * data.dtype.itemsize / 1e9
     print(
-        f"dataset_to_device: {n} samples ({gb:.2f} GB, {data.dtype}) "
-        f"in {_time.perf_counter() - t0:.1f}s (decode {t_dec:.1f}s)", flush=True,
+        f"{label}: {n} samples ({gb:.2f} GB, {data.dtype}) "
+        f"in {_time.perf_counter() - t0:.1f}s", flush=True,
     )
     return data
+
+
+def dataset_to_device(dataset: RasterDataset, mesh, chunk: int = 1024):
+    """Upload the whole dataset to device HBM as one [N, H, W, C] array.
+
+    The TPU-native answer to a narrow host->device link: a 24k-scene uint8
+    raster set is only ~4.6 GB — it fits beside the model in HBM, so it is
+    transferred ONCE and each train step ships 16 int32 indices instead of a
+    3 MB batch (the measured tunnel sustains only a few MB/s, which capped
+    training at ~2 steps/s host-bound; device-resident data removes the
+    input pipeline entirely).
+
+    The full array is assembled HOST-side and shipped as ONE device_put:
+    a per-chunk upload + jnp.concatenate briefly needs 2x the dataset in
+    HBM (the chunks plus the concatenated copy), which for a 7.9 GB corpus
+    next to the model state overflows a 16 GB v5e. Host RAM is the cheap
+    side (chunked decode keeps the PNG->array staging bounded)."""
+    full = decoded_corpus(dataset, chunk=chunk)
+    return array_to_device(full, mesh)
+
+
+def hybrid_device_data(dataset: RasterDataset, mesh, budget_bytes: int,
+                       seed: int = 0):
+    """Resident-pool split for corpora larger than the HBM budget.
+
+    A random (seeded) subset of R = budget // bytes_per_sample samples is
+    uploaded once; the rest streams from the decoded-corpus sidecar mmap.
+    Returns (data_dev [R,...], pool_idx [R], tail_idx [N-R], full_mmap).
+    The per-step mixing ratio that keeps every sample equally visited per
+    epoch is k_tail/batch = (N-R)/N (see hybrid_index_batches); on the
+    measured ~6 MB/s axon link a 50k/20k split at 256² sustains the full
+    ~90 samples/s device rate (tail traffic ≈ 5 MB/s) where host-feeding
+    everything runs at a third of that."""
+    full = decoded_corpus(dataset)
+    n = len(dataset)
+    bytes_per = int(np.prod(full.shape[1:])) * full.dtype.itemsize
+    r = max(1, min(n, int(budget_bytes) // max(bytes_per, 1)))
+    order = np.random.default_rng(seed).permutation(n)
+    pool_idx = np.sort(order[:r])
+    tail_idx = np.sort(order[r:])
+    pool = full[pool_idx] if r < n else full  # fancy-index copy, host RAM
+    data_dev = array_to_device(pool, mesh, label="hybrid_device_data[pool]")
+    return data_dev, pool_idx, tail_idx, full
+
+
+def hybrid_index_batches(n_pool: int, n_tail: int, batch_size: int,
+                         seed: int = 0, align: int = 1):
+    """Endless (pool_slots [k_res], tail_slots [k_str]) int32 batches with
+    FIXED split sizes (one compiled step for the whole run), shuffled per
+    epoch so every sample — resident or streamed — is visited exactly once
+    per epoch (up to the dropped remainder). `align` rounds the tail count
+    to a multiple of the mesh data-axis width so the streamed sub-batch
+    itself shards evenly."""
+    n = n_pool + n_tail
+    k_str = int(round(batch_size * n_tail / n))
+    if n_tail > 0:
+        k_str = min(max(k_str, 1), batch_size - 1)
+    if align > 1 and k_str % align:
+        k_str = min(
+            ((k_str + align - 1) // align) * align, batch_size - align
+        )
+    k_res = batch_size - k_str
+    rng = np.random.default_rng(seed)
+    while True:
+        pool_order = rng.permutation(n_pool)
+        tail_order = rng.permutation(n_tail) if n_tail else np.empty(0, np.int64)
+        n_batches = pool_order.size // k_res
+        if k_str:
+            n_batches = min(n_batches, tail_order.size // k_str)
+        for b in range(n_batches):
+            yield (
+                pool_order[b * k_res : (b + 1) * k_res].astype(np.int32),
+                tail_order[b * k_str : (b + 1) * k_str].astype(np.int32),
+            )
 
 
 def index_batches(

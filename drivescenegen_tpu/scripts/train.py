@@ -293,10 +293,65 @@ def main(argv=None):
     data_key = prng.for_purpose(root, "train")
 
     n_bytes = len(dataset) * cfg.model.sample_size ** 2 * n_channels
+    budget = int(tcfg.device_data_budget_gb * 1024 ** 3)
     use_device_data = tcfg.device_data == "on" or (
-        tcfg.device_data == "auto" and dataset.raw and n_bytes <= 6 * 1024 ** 3
+        tcfg.device_data == "auto" and dataset.raw and n_bytes <= budget
     )
-    if use_device_data:
+    use_hybrid = tcfg.device_data == "hybrid" or (
+        tcfg.device_data == "auto" and dataset.raw and n_bytes > budget
+    )
+    if use_hybrid:
+        # Corpus larger than the HBM budget: a random budget-sized pool
+        # stays resident, the tail streams from the sidecar mmap at a
+        # coverage-balanced ratio (every sample exactly once per epoch).
+        from drivescenegen_tpu.data.dataset import (
+            hybrid_device_data,
+            hybrid_index_batches,
+            prefetch_to_device,
+        )
+        from drivescenegen_tpu.parallel import batch_sharding
+
+        logger.info(
+            f"hybrid device data: corpus {n_bytes / 1e9:.2f} GB > budget "
+            f"{budget / 1e9:.2f} GB; streaming the tail"
+        )
+        data_dev, pool_idx, tail_idx, full = hybrid_device_data(
+            dataset, mesh, budget, seed=tcfg.seed
+        )
+        if len(tail_idx) == 0:
+            raise SystemExit(
+                "device_data: hybrid requested but the whole corpus fits "
+                f"the {budget / 1e9:.2f} GB budget — use device_data: on"
+            )
+        b_shard = batch_sharding(mesh, 4)
+
+        def _hybrid_step(state, data, idxs, tail_batch, key):
+            batch = jnp.concatenate(
+                [jnp.take(data, idxs, axis=0), tail_batch], axis=0
+            )
+            batch = jax.lax.with_sharding_constraint(batch, b_shard)
+            return base_step(state, batch, key)
+
+        step_fn = jax.jit(_hybrid_step, donate_argnums=0)
+        idx_it = hybrid_index_batches(
+            len(pool_idx), len(tail_idx), tcfg.batch_size, seed=tcfg.seed,
+            align=mesh.shape["data"],
+        )
+        # Split the (pool_slots, tail_slots) stream: slots feed the device
+        # gather, tail rows prefetch host->HBM two batches ahead.
+        import itertools
+
+        idx_a, idx_b = itertools.tee(idx_it)
+        tail_it = prefetch_to_device(
+            (full[tail_idx[t]] for _, t in idx_b), mesh
+        )
+
+        def next_step(state, key):
+            res_slots, _ = next(idx_a)
+            return step_fn(
+                state, data_dev, jnp.asarray(res_slots), next(tail_it), key
+            )
+    elif use_device_data:
         # Whole dataset resident in HBM; each step ships only indices. The
         # gathered batch is constrained back onto the "data" axis so DP
         # still shards the compute when the mesh is wider than one chip.

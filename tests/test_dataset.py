@@ -136,3 +136,82 @@ def test_dataset_to_device_sidecar_roundtrip(png_dir, eight_devices):
     ds3 = RasterDataset(str(png_dir / "*.png"), img_res=32, raw="auto")
     other = np.asarray(dataset_to_device(ds3, mesh))
     assert other.shape[1] == 32 and len(_glob.glob(str(png_dir / ".devcache_*.npy"))) == 2
+
+
+def test_hybrid_index_batches_coverage():
+    """One epoch visits every pool slot and every tail slot exactly once
+    (up to the dropped remainder), with fixed per-batch split sizes."""
+    from drivescenegen_tpu.data.dataset import hybrid_index_batches
+
+    n_pool, n_tail, batch = 50, 20, 7
+    it = hybrid_index_batches(n_pool, n_tail, batch, seed=3)
+    k_str = round(batch * n_tail / (n_pool + n_tail))
+    k_res = batch - k_str
+    n_batches = min(n_pool // k_res, n_tail // k_str)
+    seen_pool, seen_tail = [], []
+    for _ in range(n_batches):
+        res, tail = next(it)
+        assert res.shape == (k_res,) and tail.shape == (k_str,)
+        assert res.dtype == np.int32 and tail.dtype == np.int32
+        seen_pool.extend(res.tolist())
+        seen_tail.extend(tail.tolist())
+    assert len(set(seen_pool)) == len(seen_pool)  # no repeats within epoch
+    assert len(set(seen_tail)) == len(seen_tail)
+    # Next epoch reshuffles and keeps shapes.
+    res2, tail2 = next(it)
+    assert res2.shape == (k_res,) and tail2.shape == (k_str,)
+
+
+def test_hybrid_index_batches_alignment():
+    from drivescenegen_tpu.data.dataset import hybrid_index_batches
+
+    it = hybrid_index_batches(60, 10, 16, seed=0, align=4)
+    res, tail = next(it)
+    assert tail.size % 4 == 0 and tail.size >= 4
+    assert res.size + tail.size == 16
+
+
+def test_hybrid_device_data_split(png_dir, eight_devices):
+    """Pool + tail partition the corpus; pool rows land on device intact."""
+    import jax.numpy as jnp
+
+    from drivescenegen_tpu.data.dataset import hybrid_device_data
+
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw=True)
+    mesh = make_mesh(MeshConfig())
+    bytes_per = 64 * 64 * 3
+    data_dev, pool_idx, tail_idx, full = hybrid_device_data(
+        ds, mesh, budget_bytes=4 * bytes_per, seed=1
+    )
+    assert data_dev.shape == (4, 64, 64, 3)
+    assert sorted(np.concatenate([pool_idx, tail_idx]).tolist()) == list(range(10))
+    got = np.asarray(jnp.take(data_dev, jnp.asarray([2, 0]), axis=0))
+    want = np.stack([full[pool_idx[2]], full[pool_idx[0]]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_train_hybrid_device_data_runs(tmp_path):
+    """A tiny training run with device_data: hybrid completes and logs a
+    finite loss (CPU mesh)."""
+    from drivescenegen_tpu.scripts import train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(16):
+        Image.fromarray(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  sample_size: 16\n  block_out_channels: [8, 16]\n"
+        "  layers_per_block: 1\n  norm_num_groups: 4\n  attention_head_dim: 8\n"
+        "  dtype: float32\n"
+        f"train:\n  batch_size: 8\n  output_dir: {tmp_path}/out\n"
+        f"  dataset_glob: '{d}/*.png'\n  ema_decay: 0.0\n"
+        "  device_data: hybrid\n"
+        # 8 samples resident, 8 streamed (16x16x3 = 768 B/sample).
+        f"  device_data_budget_gb: {8 * 768 / 1024**3}\n"
+    )
+    train.main(["--cfg_file", str(cfg), "--max_steps", "3"])
+    assert (tmp_path / "out" / "params").is_dir()
