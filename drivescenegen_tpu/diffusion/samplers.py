@@ -115,6 +115,7 @@ def _sample_loop(
     key: jax.Array,
     timesteps: jnp.ndarray,
     step_fn,
+    unroll: int = 1,
 ) -> jax.Array:
     x_T_key, loop_key = jax.random.split(key)
     x = jax.random.normal(x_T_key, shape, dtype=jnp.float32)
@@ -131,7 +132,11 @@ def _sample_loop(
         return x, ()
 
     xs = (timesteps, prev_timesteps, jnp.arange(n, dtype=jnp.int32))
-    x, _ = jax.lax.scan(body, x, xs)
+    # unroll>1 widens the scan body so XLA can fuse elementwise chains
+    # across adjacent denoise steps (the per-iteration x/RNG hand-off is
+    # otherwise a fusion barrier — docs/PERF_ANALYSIS.md gap item 3).
+    # Identical math at any unroll; compile time grows with the factor.
+    x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
     return x
 
 
@@ -141,6 +146,7 @@ def ddpm_sample(
     shape,
     key: jax.Array,
     num_inference_steps: int = 750,
+    unroll: int = 1,
 ) -> jax.Array:
     """Ancestral DDPM sampling from pure noise. Returns x0 in [-1, 1]."""
     ts = ddpm_timesteps(schedule, num_inference_steps)
@@ -148,7 +154,7 @@ def ddpm_sample(
     def step_fn(x, eps, t, prev_t, noise):
         return ddpm_step(schedule, x, eps, t, prev_t, noise)
 
-    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn)
+    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn, unroll=unroll)
 
 
 def ddim_sample(
@@ -159,6 +165,7 @@ def ddim_sample(
     num_inference_steps: int = 50,
     eta: float = 0.0,
     spacing: str = "leading",
+    unroll: int = 1,
 ) -> jax.Array:
     """DDIM sampling — the fast path (50 steps vs the reference's 750)."""
     ts = ddim_timesteps(schedule, num_inference_steps, spacing=spacing)
@@ -166,4 +173,4 @@ def ddim_sample(
     def step_fn(x, eps, t, prev_t, noise):
         return ddim_step(schedule, x, eps, t, prev_t, noise, eta=eta)
 
-    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn)
+    return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn, unroll=unroll)

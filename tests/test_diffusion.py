@@ -99,3 +99,19 @@ def test_sampling_deterministic_given_key(schedule):
     a = ddim_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 10)
     b = ddim_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 10)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_unroll_bit_identical(schedule):
+    """unroll only widens the compiled scan body; the math (and RNG stream)
+    is identical at any factor, including non-divisor remainders."""
+    fn = _perfect_denoiser(schedule, jnp.full((1, 4, 4, 3), 0.25))
+    base_ddim = ddim_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(5), 10,
+                            eta=1.0)
+    base_ddpm = ddpm_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(6), 10)
+    for unroll in (2, 3, 5):
+        u = ddim_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(5), 10,
+                        eta=1.0, unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(base_ddim), np.asarray(u))
+        u = ddpm_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(6), 10,
+                        unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(base_ddpm), np.asarray(u))

@@ -37,6 +37,31 @@ def test_standalone_dryrun_completes_quickly():
 
 
 @pytest.mark.slow
+def test_driver_style_dryrun_without_device_flag():
+    """If the driver calls dryrun_multichip(8) WITHOUT having set
+    xla_force_host_platform_device_count (or after the backend is already
+    pinned at 1 device), the function must still go green by re-running
+    itself in a correctly-configured subprocess."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # no virtual-device flag at all
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=380,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
+
+
+@pytest.mark.slow
 def test_driver_style_dryrun_import_call():
     """The driver's own invocation shape: import the module, call the fn."""
     env = dict(os.environ)

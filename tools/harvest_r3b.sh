@@ -74,7 +74,20 @@ if [ "$NEED_FALLBACK" = "1" ] && [ ! -f outputs/flagship/e2e5k_r3q/vectorization
       --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r3q.log | tail -3
 fi
 
-# 2. Config-5 @128: 20k steps on the chip (decoded-corpus sidecar prebuilt
+# 2. Chip-cheap perf evidence FIRST (~20 min total): per-op microbench
+#    (fills the PERF_ANALYSIS table), the split-skip-concat A/B, and the
+#    headline bench — so if the tunnel dies again mid-harvest, the perf
+#    record (VERDICT item 3) is already on disk before the long config-5
+#    training block.
+if [ ! -f outputs/microbench_r3.md ]; then
+  python tools/stage_microbench.py 8 > outputs/microbench_r3.md 2>&1
+fi
+if [ ! -f outputs/probe_sweep_r3c.log ]; then
+  python tools/probe_sweep.py split 2>&1 | tee outputs/probe_sweep_r3c.log
+fi
+python bench.py | tee BENCH_local_r3.json
+
+# 3. Config-5 @128: 20k steps on the chip (decoded-corpus sidecar prebuilt
 #    host-side by tools/watch_and_harvest.sh's round-3 session).
 if [ ! -d outputs/cond128/model/params ]; then
   python -m drivescenegen_tpu.scripts.train \
@@ -82,19 +95,15 @@ if [ ! -d outputs/cond128/model/params ]; then
       --max_steps 20000 --supervise 4 2>&1 | tail -5
 fi
 
-# 3. CFG guidance sweep eval for config-5.
+# 4. CFG guidance sweep eval for config-5.
 if [ ! -f outputs/cond128/cfg_eval.json ]; then
   python -m drivescenegen_tpu.scripts.eval_cond_agents \
       --cfg_file drivescenegen_tpu/configs/config5_cond_128.yaml \
       --raster_dir outputs/cond128/heldout_ras/GT_70k_s80_dxdy_agents_img \
       --guidance 1,2,3,5 --num 128 \
       --json_out outputs/cond128/cfg_eval.json 2>&1 | tail -8
+
+  # Re-run the headline bench after config-5 so BENCH_local_r3 reflects a
+  # warm cache uncontended by training (keep the earlier one as a floor).
+  python bench.py | tee BENCH_local_r3_final.json
 fi
-
-# 4. Headline bench (warm compile cache).
-python bench.py | tee BENCH_local_r3.json
-
-# 5. Chip-gated perf probes: per-op microbench (fills the PERF_ANALYSIS
-#    table) and the split-skip-concat A/B (tools/probe_sweep.py "split").
-python tools/stage_microbench.py 8 > outputs/microbench_r3.md 2>&1
-python tools/probe_sweep.py split 2>&1 | tee outputs/probe_sweep_r3c.log

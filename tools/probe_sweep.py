@@ -22,7 +22,8 @@ enable_compilation_cache()
 PEAK = 197e12  # v5e bf16 peak
 
 
-def bench_one(tag, model_cfg, batch, precast_bf16=False, n_iters=3, trace_dir=None):
+def bench_one(tag, model_cfg, batch, precast_bf16=False, n_iters=3, trace_dir=None,
+              unroll=1):
     model = UNet2D(model_cfg)
     schedule = make_schedule(DiffusionConfig())
     x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
@@ -34,7 +35,8 @@ def bench_one(tag, model_cfg, batch, precast_bf16=False, n_iters=3, trace_dir=No
         return model.apply(params, x, t)
 
     shape = (batch, 256, 256, 3)
-    run = jax.jit(lambda k: ddim_sample(denoise, schedule, shape, k, 50))
+    run = jax.jit(lambda k: ddim_sample(denoise, schedule, shape, k, 50,
+                                        unroll=unroll))
     t0 = time.perf_counter()
     out = run(jax.random.key(1))
     out.block_until_ready()
@@ -89,5 +91,10 @@ if __name__ == "__main__":
         # tests/test_split_skip_conv.py.
         split = dataclasses.replace(base, split_skip_conv=True)
         bench_one("split skip-concat", split, 8)
+    if which in ("all", "unroll"):
+        # Scan-body unroll: lets XLA fuse elementwise chains across adjacent
+        # denoise steps (docs/PERF_ANALYSIS.md gap item 3). Identical math.
+        bench_one("scan unroll=2", base, 8, unroll=2)
+        bench_one("scan unroll=5", base, 8, unroll=5)
     if which == "trace":
         bench_one("baseline for trace", base, 8, trace_dir="outputs/trace_b8")
