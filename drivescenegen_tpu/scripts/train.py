@@ -388,6 +388,11 @@ def main(argv=None):
     t_last = t_start
     start_step = int(state.step)
     profiling = False
+    # Graceful early stop: an external controller (e.g. the harvest watcher
+    # hitting its wall-clock deadline) touches <output_dir>/STOP; the trainer
+    # notices at the next log boundary, saves a full checkpoint + params
+    # export, and exits 0 — no steps since the last periodic save are lost.
+    stop_file = os.path.join(tcfg.output_dir, "STOP")
     for step_i in range(start_step, total_steps):
         if args.profile_steps and step_i == start_step + 1:  # skip compile step
             jax.profiler.start_trace(os.path.join(tcfg.output_dir, "trace"))
@@ -410,6 +415,20 @@ def main(argv=None):
                 f"step {step_i+1}/{total_steps} loss {m['loss']:.4f} "
                 f"lr {m['lr']:.2e} {m['samples_per_sec']:.1f} samples/s"
             )
+            if os.path.exists(stop_file):
+                logger.info(
+                    f"stop file found ({stop_file}); saving state and "
+                    f"exiting at step {step_i + 1}"
+                )
+                save_checkpoint(
+                    ckpt_dir, state, max_to_keep=tcfg.checkpoint_max_to_keep
+                )
+                export = (
+                    state.ema_params if state.ema_params is not None
+                    else state.params
+                )
+                save_params_only(tcfg.output_dir, export, int(state.step))
+                break
 
         epoch_end = (step_i + 1) % steps_per_epoch == 0 or step_i + 1 == total_steps
         if epoch_end:
@@ -434,7 +453,7 @@ def main(argv=None):
                 logger.info(f"epoch {epoch}: sample -> {path}")
 
     dt = time.perf_counter() - t_start
-    logger.info(f"trained {total_steps - start_step} steps in {dt:.1f}s")
+    logger.info(f"trained {int(state.step) - start_step} steps in {dt:.1f}s")
     writer.close()
 
 
