@@ -74,6 +74,24 @@ if [ "$NEED_FALLBACK" = "1" ] && [ ! -f outputs/flagship/e2e5k_r3q/vectorization
       --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r3q.log | tail -3
 fi
 
+# 1c. Host-side metrics on whatever 5k harvests exist, in the BACKGROUND:
+#     they need no chip, so they overlap the perf/config-5 chip stages below
+#     and the quality table lands even if the session is cut mid-harvest.
+(
+  for RUN in e2e5k_r3 e2e5k_r3q; do
+    [ -d "outputs/flagship/$RUN/graph" ] || continue
+    [ -f "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" ] && continue
+    python -m drivescenegen_tpu.scripts.compute_map_metrics \
+        --gt_dir outputs/flagship/gt --gen_dir "outputs/flagship/$RUN" \
+        --json_out "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" \
+        > "outputs/flagship/metrics_${RUN#e2e5k_}.log" 2>&1
+    python tools/orientation_probe.py outputs/flagship/gt/graph \
+        "outputs/flagship/$RUN/graph" \
+        > "outputs/flagship/orientation_${RUN#e2e5k_}.txt" 2>&1
+  done
+) &
+METRICS_PID=$!
+
 # 2. Chip-cheap perf evidence FIRST (~20 min total): per-op microbench
 #    (fills the PERF_ANALYSIS table), the split-skip-concat A/B, and the
 #    headline bench — so if the tunnel dies again mid-harvest, the perf
@@ -107,3 +125,5 @@ if [ ! -f outputs/cond128/cfg_eval.json ]; then
   # warm cache uncontended by training (keep the earlier one as a floor).
   python bench.py | tee BENCH_local_r3_final.json
 fi
+
+wait "$METRICS_PID" 2>/dev/null || true

@@ -99,11 +99,12 @@ echo "$(date -u +%FT%TZ) harvest_r3b.sh finished rc=$?"
 # Host-side metrics on the new 5k harvest(s) (chip already free by now).
 for RUN in e2e5k_r3 e2e5k_r3q; do
     [ -d "outputs/flagship/$RUN/graph" ] || continue
+    [ -f "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" ] && continue
     python -m drivescenegen_tpu.scripts.compute_map_metrics \
         --gt_dir outputs/flagship/gt --gen_dir "outputs/flagship/$RUN" \
         --json_out "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" \
         > "outputs/flagship/metrics_${RUN#e2e5k_}.log" 2>&1
-    python outputs/orientation_probe.py outputs/flagship/gt/graph \
+    python tools/orientation_probe.py outputs/flagship/gt/graph \
         "outputs/flagship/$RUN/graph" \
         > "outputs/flagship/orientation_${RUN#e2e5k_}.txt" 2>&1
 done
