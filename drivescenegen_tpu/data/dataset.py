@@ -189,6 +189,17 @@ def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
     for i in range(1, n, chunk):
         for j in range(i, min(i + chunk, n)):
             full[j] = dataset[j]
+        # logger, not just print: the message lands in the trainer's rotating
+        # log file, giving the supervise stall watchdog a liveness signal.
+        # A 40k-image decode takes >30 min on a 1-core host with no other log
+        # writes, which the watchdog otherwise reads as a hung device op and
+        # kills mid-decode — before the sidecar is saved — so every relaunch
+        # restarts the decode from zero and dies the same way (observed
+        # live). Per-chunk logging is a truthful signal: a genuinely stuck
+        # decode stops emitting it.
+        import logging
+
+        logging.getLogger("data").info(f"decoded_corpus: decoded {min(i + chunk - 1, n)}/{n}")
         if (i - 1) % (chunk * 8) == 0:
             print(f"decoded_corpus: decoded {i + chunk - 1}/{n}", flush=True)
     try:

@@ -215,3 +215,21 @@ def test_train_hybrid_device_data_runs(tmp_path):
     )
     train.main(["--cfg_file", str(cfg), "--max_steps", "3"])
     assert (tmp_path / "out" / "params").is_dir()
+
+
+def test_decoded_corpus_logs_progress_for_stall_watchdog(png_dir, caplog):
+    """The supervise stall watchdog reads liveness from the trainer's log
+    file; a multi-minute PNG decode with no log writes looks like a hung
+    device op and gets killed mid-decode (observed live on the 40k corpus:
+    every relaunch restarted the decode from zero and died the same way).
+    Decode progress must therefore go through the logging system, not only
+    stdout."""
+    import logging
+
+    from drivescenegen_tpu.data.dataset import decoded_corpus
+
+    ds = RasterDataset(str(png_dir / "*.png"), img_res=64, raw="auto")
+    with caplog.at_level(logging.INFO, logger="data"):
+        decoded_corpus(ds)
+    msgs = [r.message for r in caplog.records if r.name == "data"]
+    assert any("decoded_corpus: decoded" in m for m in msgs)
