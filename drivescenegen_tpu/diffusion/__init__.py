@@ -5,6 +5,7 @@ from drivescenegen_tpu.diffusion.schedule import (  # noqa: F401
 from drivescenegen_tpu.diffusion.samplers import (  # noqa: F401
     ddpm_sample,
     ddim_sample,
+    dpmpp_2m_sample,
     ddpm_timesteps,
     ddim_timesteps,
 )

@@ -119,10 +119,17 @@ def _sample_loop(
 ) -> jax.Array:
     x_T_key, loop_key = jax.random.split(key)
     x = jax.random.normal(x_T_key, shape, dtype=jnp.float32)
-    T = schedule.num_train_timesteps
     n = timesteps.shape[0]
-    step_ratio = T // n
-    prev_timesteps = timesteps - step_ratio
+    # Step to the timestep the chain actually visits next (final target -1 =
+    # alpha_bar 1, the set_alpha_to_one convention). For uniform grids this
+    # equals diffusers' `t - T // num_steps`; for non-divisor trailing grids
+    # (stride alternates, e.g. 62/63 at T=1000, n=16) diffusers' constant
+    # stride aims at timesteps the chain never visits, skewing every
+    # alpha_prev lookup — self-consistent pairs are the correct ODE
+    # discretization and are what DPM-Solver++ uses too.
+    prev_timesteps = jnp.concatenate(
+        [timesteps[1:], jnp.array([-1], timesteps.dtype)]
+    )
 
     def body(x, inputs):
         t, prev_t, i = inputs
@@ -174,3 +181,81 @@ def ddim_sample(
         return ddim_step(schedule, x, eps, t, prev_t, noise, eta=eta)
 
     return _sample_loop(denoise_fn, schedule, shape, key, ts, step_fn, unroll=unroll)
+
+
+def dpmpp_2m_sample(
+    denoise_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape,
+    key: jax.Array,
+    num_inference_steps: int = 20,
+    spacing: str = "trailing",
+    unroll: int = 1,
+) -> jax.Array:
+    """DPM-Solver++(2M): deterministic second-order multistep solver for the
+    probability-flow ODE in data-prediction form (Lu et al.,
+    arXiv:2211.01095, Algorithm 2; semantics of diffusers
+    DPMSolverMultistepScheduler with algorithm_type="dpmsolver++",
+    solver_order=2, final_sigmas_type="zero", lower_order_final).
+
+    Integrating in log-SNR (lambda) with an exponential integrator makes the
+    linear part of the ODE exact, so ~20 steps reach the sample quality DDIM
+    needs ~50 for — 2.5x fewer UNet evaluations per scene, which is the
+    whole cost on TPU (each step is one fused denoise in the same
+    single-trace lax.scan as the other samplers; capability beyond the
+    reference, whose pipeline exposes only ancestral DDPM —
+    scripts/generation.py:14-20).
+
+    All per-step coefficients are precomputed host-side and scanned over;
+    the first and last steps fall back to first order (the last target has
+    sigma=0, where the second-order weight h_{i-1}/h_i degenerates).
+    """
+    ts = ddim_timesteps(schedule, num_inference_steps, spacing=spacing)
+    n = int(ts.shape[0])
+
+    acp = schedule.alphas_cumprod
+    acp_cur = acp[ts]
+    # Targets: the next visited timestep; the final target is t=-1 with
+    # alpha=1, sigma=0 (set_alpha_to_one / final_sigmas_type="zero") — the
+    # last update then returns the data prediction exactly.
+    acp_prev = jnp.concatenate([acp[ts[1:]], jnp.ones((1,), acp.dtype)])
+    alpha_c, sigma_c = jnp.sqrt(acp_cur), jnp.sqrt(1.0 - acp_cur)
+    alpha_p, sigma_p = jnp.sqrt(acp_prev), jnp.sqrt(1.0 - acp_prev)
+    lam_c = jnp.log(alpha_c) - jnp.log(sigma_c)
+    lam_p = jnp.log(alpha_p) - jnp.log(sigma_p)  # +inf at the final target
+    h = lam_p - lam_c  # [n], positive; +inf at the final step
+    c_x = sigma_p / sigma_c  # first-order carry coefficient; 0 at the end
+    c_d = alpha_p * (1.0 - jnp.exp(-h))  # exp(-inf)=0 -> exactly alpha_p=1
+
+    # Second-order combination D = w_c * x0_i + w_p * x0_{i-1} with
+    # r_i = h_{i-1} / h_i. Steps 0 (no history) and n-1 (h=inf) run first
+    # order: w_c=1, w_p=0.
+    h_prev = jnp.concatenate([h[:1], h[:-1]])
+    r = h_prev / jnp.maximum(h, 1e-20)
+    w_c = 1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-20))
+    w_p = -1.0 / (2.0 * jnp.maximum(r, 1e-20))
+    first_order = jnp.zeros((n,), bool).at[0].set(True)
+    if n > 1:
+        first_order = first_order.at[n - 1].set(True)
+    w_c = jnp.where(first_order, 1.0, w_c)
+    w_p = jnp.where(first_order, 0.0, w_p)
+
+    # Same key-split convention as _sample_loop so every sampler started
+    # from one seed integrates the SAME x_T (clean A/B comparisons).
+    x_T_key, _ = jax.random.split(key)
+    x = jax.random.normal(x_T_key, shape, dtype=jnp.float32)
+
+    def body(carry, inputs):
+        x, x0_prev = carry
+        t, cx_i, cd_i, wc_i, wp_i = inputs
+        eps = denoise_fn(x, t).astype(jnp.float32)
+        x0 = schedule.pred_x0_from_eps(x, eps, t)
+        d = wc_i * x0 + wp_i * x0_prev
+        x = cx_i * x + cd_i * d
+        return (x, x0), ()
+
+    xs = (ts, c_x, c_d, w_c, w_p)
+    (x, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros(shape, jnp.float32)), xs, unroll=unroll
+    )
+    return x

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from drivescenegen_tpu.config import load_config
-from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample
+from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, dpmpp_2m_sample
 from drivescenegen_tpu.utils.logging import get_logger
 
 logger = get_logger("end_to_end")
@@ -76,11 +76,12 @@ def main(argv=None):
     parser.add_argument("--output_dir", required=True, type=str)
     parser.add_argument("--num_scenes", default=5000, type=int)
     parser.add_argument("--batch_size", default=8, type=int)
-    parser.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim"])
+    parser.add_argument("--sampler", default="ddim",
+                        choices=["ddpm", "ddim", "dpm"])
     parser.add_argument("--steps", default=0, type=int)
     parser.add_argument("--eta", default=None, type=float,
                         help="DDIM stochasticity (see generation --eta)")
-    parser.add_argument("--spacing", default="leading",
+    parser.add_argument("--spacing", default=None,
                         choices=["leading", "trailing"],
                         help="DDIM timestep spacing (see generation --spacing)")
     parser.add_argument("--seed", default=0, type=int)
@@ -118,6 +119,7 @@ def main(argv=None):
     batch = args.batch_size
     steps = args.steps or (
         cfg.generation.ddim_steps if args.sampler == "ddim"
+        else 20 if args.sampler == "dpm"
         else cfg.generation.num_inference_steps
     )
 
@@ -137,7 +139,13 @@ def main(argv=None):
 
     if args.sampler == "ddim":
         eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
-        fn = functools.partial(ddim_sample, eta=eta, spacing=args.spacing)
+        fn = functools.partial(
+            ddim_sample, eta=eta, spacing=args.spacing or "leading"
+        )
+    elif args.sampler == "dpm":
+        fn = functools.partial(
+            dpmpp_2m_sample, spacing=args.spacing or "trailing"
+        )
     else:
         fn = ddpm_sample
 

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from drivescenegen_tpu.config import load_config
-from drivescenegen_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+from drivescenegen_tpu.diffusion import (
+    ddim_sample,
+    ddpm_sample,
+    dpmpp_2m_sample,
+    make_schedule,
+)
 from drivescenegen_tpu.models import UNet2D
 from drivescenegen_tpu.parallel import make_mesh
 from drivescenegen_tpu.training.checkpoint import restore_params_only
@@ -75,7 +80,8 @@ def main(argv=None):
     parser.add_argument("--cfg_file", default=None, type=str)
     parser.add_argument("--model_dir", default=None, type=str)
     parser.add_argument("--output_dir", default=None, type=str)
-    parser.add_argument("--sampler", default=None, choices=[None, "ddpm", "ddim"])
+    parser.add_argument("--sampler", default=None,
+                        choices=[None, "ddpm", "ddim", "dpm"])
     parser.add_argument("--steps", default=0, type=int)
     parser.add_argument("--batch_size", default=0, type=int)
     parser.add_argument("--num_batches", default=0, type=int)
@@ -84,10 +90,12 @@ def main(argv=None):
                         help="DDIM stochasticity (0 = deterministic; 1 = "
                              "ancestral-strength noise — markedly better for "
                              "briefly-trained models at the same step count)")
-    parser.add_argument("--spacing", default="leading",
-                        choices=["leading", "trailing"],
-                        help="DDIM timestep spacing; trailing visits t=T-1 "
-                             "(better at low step counts, arXiv:2305.08891)")
+    parser.add_argument("--spacing", default=None,
+                        choices=[None, "leading", "trailing"],
+                        help="timestep spacing; trailing visits t=T-1 "
+                             "(better at low step counts, arXiv:2305.08891). "
+                             "Default: leading for ddim/ddpm (diffusers "
+                             "parity), trailing for dpm")
     parser.add_argument("--cond_dir", default=None, type=str,
                         help="conditional mode: directory of rasters whose R/G "
                              "map channels condition agent generation (config-5)")
@@ -106,7 +114,9 @@ def main(argv=None):
     output_dir = args.output_dir or gcfg.output_dir
     sampler = args.sampler or gcfg.sampler
     steps = args.steps or (
-        gcfg.ddim_steps if sampler == "ddim" else gcfg.num_inference_steps
+        gcfg.ddim_steps if sampler == "ddim"
+        else 20 if sampler == "dpm"
+        else gcfg.num_inference_steps
     )
     batch_size = args.batch_size or gcfg.batch_size
     num_batches = args.num_batches or gcfg.num_batches
@@ -135,7 +145,16 @@ def main(argv=None):
         import functools
 
         eta = args.eta if args.eta is not None else cfg.generation.ddim_eta
-        fn = functools.partial(ddim_sample, eta=eta, spacing=args.spacing)
+        fn = functools.partial(
+            ddim_sample, eta=eta, spacing=args.spacing or "leading"
+        )
+    elif sampler == "dpm":
+        import functools
+
+        # Deterministic second-order solver; trailing spacing unless the
+        # user asked otherwise (leading spacing never visits the pure-noise
+        # end, which hurts most at DPM's low step counts).
+        fn = functools.partial(dpmpp_2m_sample, spacing=args.spacing or "trailing")
     else:
         fn = ddpm_sample
 

@@ -115,3 +115,106 @@ def test_scan_unroll_bit_identical(schedule):
         u = ddpm_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(6), 10,
                         unroll=unroll)
         np.testing.assert_array_equal(np.asarray(base_ddpm), np.asarray(u))
+
+
+# ---------------- DPM-Solver++(2M) ----------------
+
+def test_dpm_recovers_target(schedule):
+    """With an oracle denoiser, DPM-Solver++(2M) converges to the target x0
+    at far fewer steps than DDIM needs."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    target = jnp.full((1, 8, 8, 3), 0.35)
+    fn = _perfect_denoiser(schedule, target)
+    out = dpmpp_2m_sample(fn, schedule, (1, 8, 8, 3), jax.random.key(0), 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_dpm_single_step_equals_ddim(schedule):
+    """At one step (trailing), both solvers return the data prediction from
+    t=T-1 — the final-sigma-zero convention must agree exactly."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    target = jnp.full((1, 4, 4, 3), 0.2)
+    fn = _perfect_denoiser(schedule, target)
+    a = dpmpp_2m_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(7), 1)
+    b = ddim_sample(
+        fn, schedule, (1, 4, 4, 3), jax.random.key(7), 1, spacing="trailing"
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dpm_second_order_convergence(schedule):
+    """Probability-flow-ODE convergence order: for Gaussian data
+    (x0 ~ N(0, s2 I)) the optimal eps-predictor is linear and the ODE map
+    x_T -> x_0 is exactly x_T * s / sqrt(abar_T s2 + 1 - abar_T). Against
+    that analytic solution DPM-Solver++(2M) must (a) be far more accurate
+    than first-order DDIM at equal steps and (b) shrink its error
+    ~quadratically when the step count doubles, where DDIM only halves it.
+    (Measured on this toy: DDIM 0.052 -> 0.027 from 64 -> 128 steps; DPM
+    0.0108 -> 0.0017.)"""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    s = 0.25
+    s2 = s * s
+
+    def gaussian_oracle(x, t):
+        acp = schedule.alphas_cumprod[t]
+        return jnp.sqrt(1.0 - acp) * x / (acp * s2 + (1.0 - acp))
+
+    shape = (2, 4, 4, 3)
+    key = jax.random.key(11)
+    x_T = jax.random.normal(jax.random.split(key)[0], shape)
+    acp_T = schedule.alphas_cumprod[-1]
+    exact = x_T * s / jnp.sqrt(acp_T * s2 + (1.0 - acp_T))
+
+    def err(x):
+        return float(jnp.max(jnp.abs(x - exact)))
+
+    e_dpm64 = err(dpmpp_2m_sample(gaussian_oracle, schedule, shape, key, 64))
+    e_dpm128 = err(dpmpp_2m_sample(gaussian_oracle, schedule, shape, key, 128))
+    e_ddim64 = err(ddim_sample(gaussian_oracle, schedule, shape, key, 64,
+                               spacing="trailing"))
+    e_ddim128 = err(ddim_sample(gaussian_oracle, schedule, shape, key, 128,
+                                spacing="trailing"))
+    assert e_dpm64 < 0.25 * e_ddim64, (e_dpm64, e_ddim64)
+    # Order: doubling steps must cut DPM's error by ~4x (allow 2.5x for the
+    # non-asymptotic constant); DDIM's by ~2x.
+    assert e_dpm128 < e_dpm64 / 2.5, (e_dpm64, e_dpm128)
+    assert e_ddim128 < e_ddim64 / 1.5, (e_ddim64, e_ddim128)
+
+
+def test_dpm_deterministic_and_unroll_invariant(schedule):
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    fn = _perfect_denoiser(schedule, jnp.full((1, 4, 4, 3), -0.1))
+    a = dpmpp_2m_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 12)
+    b = dpmpp_2m_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 12)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for unroll in (2, 5):
+        u = dpmpp_2m_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 12,
+                            unroll=unroll)
+        # Unrolling lets XLA re-fuse the two-term D combination into
+        # different FMA groupings; 1-ULP drift is expected (the ddpm/ddim
+        # bodies happen to fuse identically, hence their stricter test).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(u), atol=1e-6)
+
+
+def test_dpm_starts_from_same_xT_as_ddim(schedule):
+    """One seed -> one x_T across samplers (the split convention), so
+    sampler A/Bs compare trajectories, not priors: with an identity-free
+    oracle pinned to a constant target both land on the target, but at a
+    sharper check, 1-step DPM == 1-step DDIM (same x0(x_T)) requires the
+    identical x_T draw."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    # A denoiser that returns eps=0 makes the final x depend only on x_T's
+    # propagated data prediction: x0 = x_T / sqrt(acp_T).
+    def zero_eps(x, t):
+        return jnp.zeros_like(x)
+
+    key = jax.random.key(21)
+    a = dpmpp_2m_sample(zero_eps, schedule, (1, 4, 4, 3), key, 1)
+    b = ddim_sample(zero_eps, schedule, (1, 4, 4, 3), key, 1,
+                    spacing="trailing")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

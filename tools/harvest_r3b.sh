@@ -7,33 +7,42 @@ cd "$(dirname "$0")/.."
 
 CFG=drivescenegen_tpu/configs/flagship_256_r3.yaml
 
-# 0. Spacing A/B at the north-star setting (DDIM-50 eta=0): 64 scenes each;
-#    the spacing with the lower noise-rejection rate wins the 5k run.
-for SP in leading trailing; do
-  [ -f outputs/flagship/ab_r3_${SP}/vectorization_stats.json ] && continue
+# 0. Sampler A/B at deterministic settings: DDIM-50 (both spacings, the
+#    north-star) vs DPM-Solver++(2M) at 20/25 steps (second-order solver —
+#    DDIM-50-class quality at 2.5x fewer UNet evals). 64 scenes each; the
+#    arm with the lowest noise-rejection rate wins the 5k run (ties prefer
+#    fewer steps).
+for ARM in "ddim 50 leading" "ddim 50 trailing" "dpm 20 trailing" "dpm 25 trailing"; do
+  set -- $ARM
+  TAG=$1$2_$3
+  [ -f outputs/flagship/ab_r3_${TAG}/vectorization_stats.json ] && continue
   python -m drivescenegen_tpu.scripts.end_to_end \
       --cfg_file "$CFG" \
-      --output_dir outputs/flagship/ab_r3_${SP} \
-      --num_scenes 64 --batch_size 8 --sampler ddim --steps 50 --eta 0 \
-      --spacing ${SP} --n_workers 1 2>&1 | tail -3
+      --output_dir outputs/flagship/ab_r3_${TAG} \
+      --num_scenes 64 --batch_size 8 --sampler "$1" --steps "$2" --eta 0 \
+      --spacing "$3" --n_workers 1 2>&1 | tail -3
 done
-SPACING=$(python - <<'EOF'
+WINNER=$(python - <<'EOF'
 import json
-best, best_rej = "trailing", 1e9
-for sp in ("leading", "trailing"):
+arms = [("ddim", 50, "leading"), ("ddim", 50, "trailing"),
+        ("dpm", 20, "trailing"), ("dpm", 25, "trailing")]
+best, best_key = ("ddim", 50, "trailing"), (1e9, 1e9)
+for s, n, sp in arms:
     try:
-        s = json.load(open(f"outputs/flagship/ab_r3_{sp}/vectorization_stats.json"))
-        rej = (s["n_rejected"] + s["n_failed"]) / max(s["n_images"], 1)
+        st = json.load(open(f"outputs/flagship/ab_r3_{s}{n}_{sp}/vectorization_stats.json"))
+        rej = (st["n_rejected"] + st["n_failed"]) / max(st["n_images"], 1)
     except Exception:
         continue
-    if rej < best_rej:
-        best, best_rej = sp, rej
-print(best)
+    if (rej, n) < best_key:
+        best, best_key = (s, n, sp), (rej, n)
+print(*best)
 EOF
 )
-echo "A/B winner: spacing=$SPACING"
+set -- $WINNER
+SAMPLER=$1; STEPS=$2; SPACING=$3
+echo "A/B winner: $SAMPLER-$STEPS $SPACING"
 
-# 1. Fused 5k at DDIM-50 eta=0 (the north-star sampler setting). Retried
+# 1. Fused 5k at the A/B-winning deterministic sampler setting. Retried
 #    with --resume after TPU-worker crashes: completed batches reload from
 #    disk and skip the sampler.
 ATTEMPT=0
@@ -43,8 +52,8 @@ while [ ! -f outputs/flagship/e2e5k_r3/vectorization_stats.json ] \
   python -m drivescenegen_tpu.scripts.end_to_end \
       --cfg_file "$CFG" \
       --output_dir outputs/flagship/e2e5k_r3 \
-      --num_scenes 5120 --batch_size 8 --sampler ddim --steps 50 --eta 0 \
-      --spacing "$SPACING" --resume \
+      --num_scenes 5120 --batch_size 8 --sampler "$SAMPLER" --steps "$STEPS" \
+      --eta 0 --spacing "$SPACING" --resume \
       --n_workers 1 2>&1 | tee -a outputs/flagship/e2e5k_r3.log | tail -3
   [ -f outputs/flagship/e2e5k_r3/vectorization_stats.json ] && break
   echo "e2e5k attempt $ATTEMPT failed; waiting for device health"
