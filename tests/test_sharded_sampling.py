@@ -52,3 +52,29 @@ def test_sharded_sampling_matches_single_device(eight_devices):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(plain), atol=2e-5
     )
+
+
+def test_sharded_dpm_sampling_matches_single_device(eight_devices):
+    """The DPM-Solver++(2M) scan partitions over the data axis exactly like
+    DDIM (its carry adds the previous data prediction, sharded the same
+    way); sharded output must equal the single-device run."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sample
+
+    denoise, schedule = _setup()
+    shape = (8, 16, 16, 3)
+    key = jax.random.key(9)
+
+    plain = jax.jit(lambda k: dpmpp_2m_sample(denoise, schedule, shape, k, 6))(key)
+
+    mesh = make_mesh(MeshConfig())
+    sharded = jax.jit(
+        lambda k: dpmpp_2m_sample(denoise, schedule, shape, k, 6),
+        out_shardings=batch_sharding(mesh, 4),
+    )(key)
+
+    assert len(sharded.sharding.device_set) == 8
+    # Slightly looser than the DDIM test: the second-order multistep
+    # combination (w_c*x0 + w_p*x0_prev with |w_p| up to ~0.5) amplifies the
+    # sharded-vs-unsharded compilation's fusion/reassociation noise across
+    # steps; observed max diff ~3e-5 on the CPU mesh.
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=1e-4)
