@@ -93,7 +93,7 @@ while :; do
 done
 
 # ---- harvest chain (chip + host) ----
-sh outputs/harvest_r3b.sh > outputs/flagship/harvest_r3b.log 2>&1
+sh tools/harvest_r3b.sh > outputs/flagship/harvest_r3b.log 2>&1
 echo "$(date -u +%FT%TZ) harvest_r3b.sh finished rc=$?"
 
 # Host-side metrics on the new 5k harvest(s) (chip already free by now).
