@@ -1,0 +1,161 @@
+#!/bin/sh
+# Round-4 final harvest — run AFTER the flagship 70k continuation reaches
+# its final step / deadline (tools/watch_and_harvest_r4.sh invokes this
+# unattended). Stages are separately resumable; each skips itself if its
+# output already exists. Order puts the quality record first, chip-cheap
+# perf evidence second, and the long config-5 block last, so a tunnel death
+# mid-harvest still leaves the VERDICT-critical artifacts on disk.
+set -x
+cd "$(dirname "$0")/.."
+
+CFG=${1:-drivescenegen_tpu/configs/flagship_256_r4.yaml}
+
+# 0. Sampler A/B at deterministic settings: DDIM-50 (both spacings) vs
+#    DPM-Solver++(2M) at 20/25 steps. 64 scenes each; lowest noise-rejection
+#    rate wins the 5k run (ties prefer fewer steps). VERDICT r3 #4.
+for ARM in "ddim 50 leading" "ddim 50 trailing" "dpm 20 trailing" "dpm 25 trailing"; do
+  set -- $ARM
+  TAG=$1$2_$3
+  [ -f outputs/flagship/ab_r4_${TAG}/vectorization_stats.json ] && continue
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/ab_r4_${TAG} \
+      --num_scenes 64 --batch_size 8 --sampler "$1" --steps "$2" --eta 0 \
+      --spacing "$3" --n_workers 1 2>&1 | tail -3
+done
+WINNER=$(python - <<'EOF'
+import json
+arms = [("ddim", 50, "leading"), ("ddim", 50, "trailing"),
+        ("dpm", 20, "trailing"), ("dpm", 25, "trailing")]
+best, best_key = ("ddim", 50, "trailing"), (1e9, 1e9)
+for s, n, sp in arms:
+    try:
+        st = json.load(open(f"outputs/flagship/ab_r4_{s}{n}_{sp}/vectorization_stats.json"))
+        rej = (st["n_rejected"] + st["n_failed"]) / max(st["n_images"], 1)
+    except Exception:
+        continue
+    if (rej, n) < best_key:
+        best, best_key = (s, n, sp), (rej, n)
+print(*best)
+EOF
+)
+set -- $WINNER
+SAMPLER=$1; STEPS=$2; SPACING=$3
+echo "A/B winner: $SAMPLER-$STEPS $SPACING"
+
+# 1. Fused 5k at the A/B-winning deterministic setting, with the wall-clock
+#    budget record (VERDICT r3 #6: BASELINE's <15-min 5k target). Retried
+#    with --resume after TPU-worker crashes.
+T5K0=$(date +%s)
+ATTEMPT=0
+while [ ! -f outputs/flagship/e2e5k_r4/vectorization_stats.json ] \
+      && [ $ATTEMPT -lt 5 ]; do
+  ATTEMPT=$((ATTEMPT + 1))
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/e2e5k_r4 \
+      --num_scenes 5120 --batch_size 8 --sampler "$SAMPLER" --steps "$STEPS" \
+      --eta 0 --spacing "$SPACING" --resume \
+      --n_workers 1 2>&1 | tee -a outputs/flagship/e2e5k_r4.log | tail -3
+  [ -f outputs/flagship/e2e5k_r4/vectorization_stats.json ] && break
+  echo "e2e5k attempt $ATTEMPT failed; waiting for device health"
+  until timeout 180 python -c "import jax; jax.devices(); import jax.numpy as j; j.ones(4).sum().block_until_ready()" >/dev/null 2>&1; do
+    sleep 120
+  done
+done
+python - "$T5K0" <<'EOF'
+# Budget record: single-chip wall clock + the v5e-8 extrapolation (both the
+# sampler and the fused pipeline are batch-sharded over the data axis, so 8
+# chips divide the sampling wall; host vectorization is overlapped and
+# under-subscribed at 52 ms/img). Written even if the run needed retries —
+# retry_wall_s records the outer wall including health waits.
+import json, sys, time
+try:
+    st = json.load(open("outputs/flagship/e2e5k_r4/vectorization_stats.json"))
+except Exception:
+    sys.exit(0)
+rec = {
+    "n_scenes": st.get("n_images"),
+    "sampler": st.get("sampler"),
+    "wall_time_s": st.get("wall_time_s"),
+    "sampling_wall_s": st.get("sampling_wall_s"),
+    "scenes_per_s": st.get("scenes_per_s"),
+    "retry_wall_s": int(time.time()) - int(sys.argv[1]),
+    "v5e8_extrapolated_wall_s": round(st["sampling_wall_s"] / 8.0
+                                      + (st["wall_time_s"] - st["sampling_wall_s"]), 1)
+                                if st.get("sampling_wall_s") else None,
+    "baseline_target_s": 900,
+}
+json.dump(rec, open("outputs/flagship/e2e5k_r4_budget.json", "w"), indent=1)
+print(rec)
+EOF
+
+# 1b. Quality fallback: if the winner still rejects >15% as speckle, also
+#     harvest at DDIM-100 eta=1 so the metrics table has a usable read.
+NEED_FALLBACK=$(python - <<'EOF'
+import json
+try:
+    s = json.load(open("outputs/flagship/e2e5k_r4/vectorization_stats.json"))
+    print(1 if (s["n_rejected"] + s["n_failed"]) / max(s["n_images"], 1) > 0.15 else 0)
+except Exception:
+    print(0)
+EOF
+)
+if [ "$NEED_FALLBACK" = "1" ] && [ ! -f outputs/flagship/e2e5k_r4q/vectorization_stats.json ]; then
+  python -m drivescenegen_tpu.scripts.end_to_end \
+      --cfg_file "$CFG" \
+      --output_dir outputs/flagship/e2e5k_r4q \
+      --num_scenes 5120 --batch_size 8 --sampler ddim --steps 100 --eta 1 \
+      --spacing trailing --resume \
+      --n_workers 1 2>&1 | tee outputs/flagship/e2e5k_r4q.log | tail -3
+fi
+
+# 1c. Host-side metrics in the BACKGROUND (no chip needed): FD/MMD table vs
+#     the calibrated ceiling/floor rows, plus the orientation probe.
+(
+  for RUN in e2e5k_r4 e2e5k_r4q; do
+    [ -d "outputs/flagship/$RUN/graph" ] || continue
+    [ -f "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" ] && continue
+    python -m drivescenegen_tpu.scripts.compute_map_metrics \
+        --gt_dir outputs/flagship/gt --gen_dir "outputs/flagship/$RUN" \
+        --json_out "outputs/flagship/metrics_model_${RUN#e2e5k_}.json" \
+        > "outputs/flagship/metrics_${RUN#e2e5k_}.log" 2>&1
+    python tools/orientation_probe.py outputs/flagship/gt/graph \
+        "outputs/flagship/$RUN/graph" \
+        > "outputs/flagship/orientation_${RUN#e2e5k_}.txt" 2>&1
+  done
+) &
+METRICS_PID=$!
+
+# 2. Chip-cheap perf evidence: split-skip-concat A/B (VERDICT r3 #5), per-op
+#    microbench, headline bench — before the long config-5 block.
+if [ ! -f outputs/probe_sweep_r4.log ]; then
+  python tools/probe_sweep.py split 2>&1 | tee outputs/probe_sweep_r4.log
+fi
+if [ ! -f outputs/microbench_r4.md ]; then
+  python tools/stage_microbench.py 8 > outputs/microbench_r4.md 2>&1
+fi
+python bench.py | tee BENCH_local_r4.json
+
+# 3. Config-5 @128: 20k steps (sidecar prebuilt round-3; if missing, decode
+#    runs inside the trainer with watchdog-visible progress — ADVICE r3
+#    medium: never block this chain on a foreground decode).
+if [ ! -d outputs/cond128/model/params ]; then
+  setsid python -m drivescenegen_tpu.scripts.train \
+      --cfg_file drivescenegen_tpu/configs/config5_cond_128.yaml \
+      --max_steps 20000 --supervise 4 2>&1 | tail -5
+fi
+
+# 4. CFG guidance sweep eval for config-5 (VERDICT r3 #3).
+if [ ! -f outputs/cond128/cfg_eval.json ]; then
+  python -m drivescenegen_tpu.scripts.eval_cond_agents \
+      --cfg_file drivescenegen_tpu/configs/config5_cond_128.yaml \
+      --raster_dir outputs/cond128/heldout_ras/GT_70k_s80_dxdy_agents_img \
+      --guidance 1,2,3,5 --num 128 \
+      --json_out outputs/cond128/cfg_eval.json 2>&1 | tail -8
+fi
+
+# 5. Re-run the headline bench on the freed, warm-cached chip.
+python bench.py | tee BENCH_local_r4_final.json
+
+wait "$METRICS_PID" 2>/dev/null || true
