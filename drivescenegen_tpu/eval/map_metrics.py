@@ -124,17 +124,34 @@ def compute_stats(graph: nx.Graph, map_range: Optional[float] = 80.0,
     orientations = list(nx.get_node_attributes(graph, "yaw").values())
     length = float(np.mean(lengths)) if lengths else 0.0
     orientation = float(np.mean(orientations)) if orientations else 0.0
+    # OrientationR: per-graph circular mean resultant length of node yaws,
+    # R = |mean(exp(i*yaw))| in [0, 1]. The reference's Orientation column
+    # (map_metrics.py:74-124, the per-graph mean of SIGNED yaws) cancels on
+    # balanced two-way roads, so its value is dominated by how many lane
+    # pairs lost a direction — but as a signed mean it is noise-limited at
+    # n=2000 graphs (measured: noise floor 0.017 > roundtrip ceiling 0.013).
+    # R measures that same asymmetry directly: a direction-balanced graph
+    # has R ~ 0, a graph whose two-way pairs dropped one direction pushes R
+    # toward 1. It is invariant to global scene rotation and to the
+    # world-frame transform's yaw sign flip (|conj(z)| == |z|), so both
+    # frame modes agree. Kept ALONGSIDE the parity column, not replacing it.
+    if orientations:
+        z = np.exp(1j * np.asarray(orientations, dtype=np.float64))
+        orientation_r = float(np.abs(np.mean(z)))
+    else:
+        orientation_r = 0.0
 
     degree = connectivity
     spectrum = float(np.sum(nx.laplacian_spectrum(graph, weight="dist"))) if n_nodes else 0.0
 
     urban_plan = np.array([connectivity, density, reach, convenience])
-    geo = np.array([length, orientation])
+    geo = np.array([length, orientation, orientation_r])
     topo = np.array([degree, spectrum])
     return urban_plan, geo, topo
 
 
-STATS_NAMES = ["Connectivity", "Density", "Reach", "Convenience", "Length", "Orientation"]
+STATS_NAMES = ["Connectivity", "Density", "Reach", "Convenience", "Length",
+               "Orientation", "OrientationR"]
 
 
 def compute_map_stats(files: list, save_path: str, map_range: Optional[float] = None,

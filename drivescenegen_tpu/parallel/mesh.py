@@ -125,6 +125,7 @@ def param_shardings(params, mesh: Mesh, rules=None):
         return "/".join(parts)
 
     specs = {}
+    fallbacks = []
     for path, leaf in flat:
         key = path_str(path)
         if mesh.shape.get("model", 1) > 1 and hasattr(leaf, "ndim"):
@@ -135,8 +136,23 @@ def param_shardings(params, mesh: Mesh, rules=None):
                 if name is not None and leaf.shape[dim] % mesh.shape["model"] != 0:
                     ok = False
             specs[key] = spec if ok else P()
+            if not ok:
+                fallbacks.append((key, tuple(leaf.shape)))
         else:
             specs[key] = P()
+    if fallbacks:
+        # A silent fallback is a perf cliff on a real TP mesh: the param is
+        # replicated and its matmul runs unsharded on every model-axis rank.
+        # Name the offenders once so a mis-sized config is visible in logs.
+        import logging
+
+        logging.getLogger("parallel").warning(
+            "TP: %d param(s) matched a shard rule but do not divide the "
+            "model axis (%d); replicating them: %s",
+            len(fallbacks), mesh.shape["model"],
+            ", ".join(f"{k}{s}" for k, s in fallbacks[:8])
+            + (", ..." if len(fallbacks) > 8 else ""),
+        )
 
     def build(path, leaf):
         return NamedSharding(mesh, specs[path_str(path)])

@@ -39,11 +39,16 @@ def _side_stats(data_dir: str, num_samples: int, map_range, map_res, refresh: bo
         for n in ("stats", "degrees", "spectrum")
     )
     if have_cache and not refresh:
-        return (
-            np.load(os.path.join(metrics_dir, "stats.npy")),
-            np.load(os.path.join(metrics_dir, "degrees.npy")),
-            np.load(os.path.join(metrics_dir, "spectrum.npy")),
-        )
+        stats = np.load(os.path.join(metrics_dir, "stats.npy"))
+        # Stat-schema upgrade: caches written before a new column was added
+        # (e.g. OrientationR) have fewer rows than STATS_NAMES — recompute
+        # rather than silently comparing truncated stat vectors.
+        if stats.shape[0] >= len(map_metrics.STATS_NAMES):
+            return (
+                stats,
+                np.load(os.path.join(metrics_dir, "degrees.npy")),
+                np.load(os.path.join(metrics_dir, "spectrum.npy")),
+            )
     files = sorted(glob.glob(os.path.join(data_dir, "graph", "*")))
     if not files:
         raise SystemExit(f"no graph pickles under {data_dir}/graph")

@@ -49,6 +49,9 @@ def vectorize(img01, method: str = "GRAPH_FIT", map_range: float = 80.0,
             min_distance=vcfg.min_distance,
             intersection_offset=vcfg.intersection_offset,
             length_thresh=vcfg.length_thresh,
+            noise_mask_frac=vcfg.noise_mask_frac,
+            max_graph_nodes=vcfg.max_graph_nodes,
+            despeckle_px=vcfg.despeckle_px,
         )
     try:
         if method == "GRAPH_FIT":

@@ -31,7 +31,8 @@ logger = get_logger("graph_fit", logging.WARNING)
 
 def image_to_graph(img01: np.ndarray, min_distance: int = 4,
                    skel: Optional[np.ndarray] = None,
-                   mask: Optional[np.ndarray] = None):
+                   mask: Optional[np.ndarray] = None,
+                   despeckle_px: int = 15):
     """Color raster (float01 HxWx3) -> (skeleton, MultiGraph). The mask is
     transposed so nodes are (x, y) = (col, row), matching the reference
     (image_to_polylines.py:18-21; white-pixel mask there, histogram mask
@@ -41,7 +42,8 @@ def image_to_graph(img01: np.ndarray, min_distance: int = 4,
     if mask is None:
         mask = image_utils.get_lane_mask(img01)
     return network.extract_network(
-        mask.T.astype(np.uint8), min_distance, skel=skel
+        mask.T.astype(np.uint8), min_distance, skel=skel,
+        despeckle_px=despeckle_px,
     )
 
 
@@ -552,6 +554,9 @@ def extract_polylines_from_img(
     intersection_offset: int = 5,
     length_thresh: int = 25,
     skel: Optional[np.ndarray] = None,
+    noise_mask_frac: float = 0.25,
+    max_graph_nodes: int = 1500,
+    despeckle_px: int = 15,
 ):
     """Full GRAPH_FIT pipeline (image_to_polylines.py:605-769).
 
@@ -565,20 +570,21 @@ def extract_polylines_from_img(
     # graph passes are quadratic in junction count on such inputs. Real
     # rasters have ~3-6% lane pixels.
     mask = image_utils.get_lane_mask(img01)
-    if mask.mean() > 0.25:
+    if mask.mean() > noise_mask_frac:
         logger.warning(
             f"lane mask covers {mask.mean():.0%} of the image — rejecting as noise"
         )
         return None, None
 
     skel_arr, graph = image_to_graph(
-        img01, min_distance=min_distance, skel=skel, mask=mask
+        img01, min_distance=min_distance, skel=skel, mask=mask,
+        despeckle_px=despeckle_px,
     )
 
     if graph.number_of_nodes() < 2 or graph.number_of_edges() < 1:
         logger.warning("Failed to extract graph from image")
         return None, None
-    if graph.number_of_nodes() > 1500:
+    if graph.number_of_nodes() > max_graph_nodes:
         logger.warning(
             f"degenerate skeleton graph ({graph.number_of_nodes()} nodes) — rejecting"
         )

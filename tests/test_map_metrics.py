@@ -56,6 +56,88 @@ def test_compute_stats_grid_known_values():
     assert topo[1] > 0  # laplacian spectrum sum
 
 
+def _two_way_graph(n=40, drop_reverse=False, rotate=0.0, rng=None):
+    """A chain road with nodes carrying both travel directions' yaws (theta
+    and theta+pi), optionally with the reverse direction dropped — the
+    generated-scene failure mode the orientation probe diagnosed."""
+    g = nx.Graph()
+    rng = rng or np.random.default_rng(0)
+    thetas = rng.uniform(-np.pi, np.pi, size=n)
+    prev = None
+    for i, th in enumerate(thetas):
+        fwd = (float(i) * 10.0, 0.0)
+        g.add_node(fwd, yaw=float((th + rotate + np.pi) % (2 * np.pi) - np.pi))
+        if not drop_reverse:
+            rev = (float(i) * 10.0, 1.0)
+            back = (th + np.pi + rotate + np.pi) % (2 * np.pi) - np.pi
+            g.add_node(rev, yaw=float(back))
+            g.add_edge(fwd, rev, dist=1.0)
+        if prev is not None:
+            g.add_edge(prev, fwd, dist=10.0)
+        prev = fwd
+    return g
+
+
+def test_orientation_r_detects_dropped_directions():
+    """OrientationR (geo[2]): ~0 for direction-balanced two-way roads, large
+    when one direction of each pair is dropped — the signal the signed-mean
+    Orientation column (reference parity) can only see through noise."""
+    balanced = _two_way_graph(drop_reverse=False)
+    dropped = _two_way_graph(drop_reverse=True)
+    _, geo_b, _ = map_metrics.compute_stats(balanced, map_range=None, map_res=None)
+    _, geo_d, _ = map_metrics.compute_stats(dropped, map_range=None, map_res=None)
+    assert geo_b[2] == pytest.approx(0.0, abs=1e-9)  # pairs cancel exactly
+    assert geo_d[2] > 0.05  # resultant of n random yaws, no cancellation
+    assert geo_d[2] > 10 * geo_b[2] + 0.05
+
+
+def test_orientation_r_rotation_and_frame_invariant():
+    """R is invariant to a global scene rotation and to the world-frame
+    transform's yaw sign flip (transform_to_world_frame negates yaws)."""
+    g0 = _two_way_graph(drop_reverse=True, rotate=0.0, rng=np.random.default_rng(3))
+    g1 = _two_way_graph(drop_reverse=True, rotate=1.234, rng=np.random.default_rng(3))
+    _, geo0, _ = map_metrics.compute_stats(g0, map_range=None, map_res=None)
+    _, geo1, _ = map_metrics.compute_stats(g1, map_range=None, map_res=None)
+    assert geo0[2] == pytest.approx(geo1[2], abs=1e-9)
+    # Same graph through the pixel->world transform path (flips yaw signs).
+    _, geo_t, _ = map_metrics.compute_stats(g0, map_range=80.0, map_res=256)
+    assert geo_t[2] == pytest.approx(geo0[2], abs=1e-9)
+
+
+def test_metrics_cli_recomputes_stale_stat_cache(tmp_path):
+    """A stats.npy cache written before OrientationR existed (6 rows) must be
+    recomputed, not returned truncated."""
+    import json
+
+    from drivescenegen_tpu.scripts import compute_map_metrics as cli
+
+    for side in ("a", "b"):
+        gdir = tmp_path / side / "graph"
+        gdir.mkdir(parents=True)
+        for i in range(3):
+            g = _grid_graph(3, 10.0 + i)
+            with open(gdir / f"{i}_graph.pickle", "wb") as f:
+                pickle.dump(g, f)
+    # Seed a legacy 6-row cache on the gt side (world mode).
+    legacy = tmp_path / "a" / "metrics_world"
+    legacy.mkdir()
+    np.save(legacy / "stats.npy", np.zeros((6, 2)))
+    np.save(legacy / "degrees.npy", np.zeros(3))
+    np.save(legacy / "spectrum.npy", np.zeros(3))
+
+    out = tmp_path / "m.json"
+    cli.main([
+        "--gt_dir", str(tmp_path / "a"), "--gen_dir", str(tmp_path / "b"),
+        "--gen_world_frame", "--map_range", "80", "--map_res", "256",
+        "--num_samples", "3", "--json_out", str(out),
+    ])
+    with open(out) as f:
+        res = json.load(f)
+    assert "OrientationR" in res["frechet"]
+    assert all(v == 0.0 for v in res["frechet"].values())  # recomputed, not stale zeros vs real
+    assert np.load(legacy / "stats.npy").shape[0] == len(map_metrics.STATS_NAMES)
+
+
 def test_pairwise_distances_match_networkx():
     g = _grid_graph(3, 7.0)
     ours = sorted(map_metrics._pairwise_distances(g))
@@ -83,7 +165,7 @@ def test_compute_map_stats_and_metrics_roundtrip(tmp_path):
     stats, degrees, spectrum = map_metrics.compute_map_stats(
         files, str(tmp_path / "m"), map_range=None, map_res=None, verbose=False
     )
-    assert stats.shape == (6, 2)
+    assert stats.shape == (len(map_metrics.STATS_NAMES), 2)
     assert degrees.shape == (6,) and spectrum.shape == (6,)
     assert os.path.exists(tmp_path / "m" / "stats.npy")
 
