@@ -17,6 +17,8 @@ Usage (host-only, no device touched):
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from drivescenegen_tpu.config import load_config
