@@ -1,0 +1,65 @@
+#!/bin/sh
+# Recompute the two metric calibration rows host-side (no chip):
+#   - noise floor: gt vs gt_b (2k vs 2k disjoint held-out GT splits)
+#   - roundtrip ceiling: gt graphs vs graphs vectorized from the SAME 2k
+#     held-out scenes' rasters (the ceiling any model's samples can reach
+#     under the raster->vectorize protocol)
+# Needed fresh in round 4 because the stat schema gained OrientationR.
+# Waits for the 70k sidecar stitch to finish first so the two CPU-heavy
+# jobs don't compete on the 1-core host; runs under nice so the trainer's
+# hybrid streaming keeps priority. Idempotent.
+set -u
+cd "$(dirname "$0")/.."
+
+HELD=outputs/cond128/heldout_ras/GT_70k_s80_dxdy_agents_img
+RT_IN=outputs/flagship/roundtrip_in
+RT=outputs/flagship/roundtrip
+
+hb() { echo "$(date -u +%FT%TZ) calibration: $*"; }
+
+WAITED=0
+until grep -q "rebuild_w30k: DONE" outputs/rebuild_w30k.log 2>/dev/null; do
+    [ "$WAITED" -ge 5400 ] && { hb "stitch never finished; proceeding anyway"; break; }
+    sleep 60; WAITED=$((WAITED + 60))
+done
+
+# The gt split = first 2000 sorted held-out pickles; rasterization named
+# file i as "{i%4}_{i//4}.png" (round-robin over 4 workers), so the gt
+# scenes' rasters are exactly those with second index < 500.
+if [ "$(ls "$RT_IN" 2>/dev/null | wc -l)" -lt 2000 ]; then
+    hb "building roundtrip input links"
+    mkdir -p "$RT_IN"
+    for p in 0 1 2 3; do
+        j=0
+        while [ "$j" -lt 500 ]; do
+            ln -sf "../../../$HELD/${p}_${j}.png" "$RT_IN/${p}_${j}.png"
+            j=$((j + 1))
+        done
+    done
+fi
+
+if [ "$(ls "$RT/graph" 2>/dev/null | wc -l)" -lt 2000 ]; then
+    hb "vectorizing 2000 GT rasters (CPU, niced)"
+    JAX_PLATFORMS=cpu nice -n 19 python -m drivescenegen_tpu.scripts.vectorization \
+        --load_path "$RT_IN" --save_path "$RT" \
+        --no_device_skeleton --n_workers 2 2>&1 | tail -3
+fi
+
+if [ ! -f outputs/flagship/metrics_roundtrip_r4.json ]; then
+    hb "roundtrip ceiling row"
+    nice -n 19 python -m drivescenegen_tpu.scripts.compute_map_metrics \
+        --gt_dir outputs/flagship/gt --gen_dir "$RT" \
+        --json_out outputs/flagship/metrics_roundtrip_r4.json \
+        > outputs/flagship/metrics_roundtrip_r4.log 2>&1
+fi
+
+if [ ! -f outputs/flagship/metrics_noise_floor_r4.json ]; then
+    hb "noise floor row"
+    nice -n 19 python -m drivescenegen_tpu.scripts.compute_map_metrics \
+        --gt_dir outputs/flagship/gt --gen_dir outputs/flagship/gt_b \
+        --gen_world_frame \
+        --json_out outputs/flagship/metrics_noise_floor_r4.json \
+        > outputs/flagship/metrics_noise_floor_r4.log 2>&1
+fi
+
+hb "DONE"
