@@ -129,8 +129,14 @@ METRICS_PID=$!
 
 # 2. Chip-cheap perf evidence: split-skip-concat A/B (VERDICT r3 #5), per-op
 #    microbench, headline bench — before the long config-5 block.
+# Baseline + both checkpoint-compatible levers in ONE chip session so the
+# A/B is apples-to-apples (VERDICT r3 #5: close split_skip_conv AND
+# scan-unroll with real-chip numbers or trace evidence).
 if [ ! -f outputs/probe_sweep_r4.log ]; then
-  python tools/probe_sweep.py split 2>&1 | tee outputs/probe_sweep_r4.log
+  { python tools/probe_sweep.py base
+    python tools/probe_sweep.py split
+    python tools/probe_sweep.py unroll
+  } 2>&1 | tee outputs/probe_sweep_r4.log
 fi
 if [ ! -f outputs/microbench_r4.md ]; then
   python tools/stage_microbench.py 8 > outputs/microbench_r4.md 2>&1
