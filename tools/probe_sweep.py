@@ -88,9 +88,11 @@ if __name__ == "__main__":
 
         # Skip-concat elimination (docs/PERF_ANALYSIS.md candidate lever 1):
         # checkpoint-compatible; numerics-equivalence tests in
-        # tests/test_split_skip_conv.py.
+        # tests/test_split_skip_conv.py. Batch 16 too: removing the concat
+        # lowers activation memory, which can move the batch sweet spot.
         split = dataclasses.replace(base, split_skip_conv=True)
         bench_one("split skip-concat", split, 8)
+        bench_one("split skip-concat b16", split, 16)
     if which in ("all", "unroll"):
         # Scan-body unroll: lets XLA fuse elementwise chains across adjacent
         # denoise steps (docs/PERF_ANALYSIS.md gap item 3). Identical math.
