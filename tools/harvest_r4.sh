@@ -84,6 +84,13 @@ rec = {
     "v5e8_extrapolated_wall_s": round(st["sampling_wall_s"] / 8.0
                                       + (st["wall_time_s"] - st["sampling_wall_s"]), 1)
                                 if st.get("sampling_wall_s") else None,
+    "extrapolation_assumes": (
+        "batch-sharded sampling divides by 8 (mesh-identical paths, "
+        "tests/test_sharded_sampling.py); host vectorization at the "
+        "measured ~50-70 ms/image needs >=1 worker per ~19 scenes/s of "
+        "sampler throughput to stay overlapped — a v5e-8 host runs the "
+        "reference's own 8-worker setting (config/vectorization.yaml:2)"
+    ),
     "baseline_target_s": 900,
 }
 json.dump(rec, open("outputs/flagship/e2e5k_r4_budget.json", "w"), indent=1)
