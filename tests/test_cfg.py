@@ -79,3 +79,55 @@ def test_guided_sampling_shapes_and_determinism():
     assert out1.shape == (2, 16, 16, 1)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_eval_cond_agents_cli_end_to_end(tmp_path):
+    """The config-5 evaluation CLI end to end on a tiny conditional model:
+    params export -> load_model_for_sampling -> guidance sweep -> JSON out.
+    Guards the harvest's config-5 leg (scripts/eval_cond_agents.py), which
+    had never been exercised as a whole before round 4."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from drivescenegen_tpu.config import Config, save_config
+    from drivescenegen_tpu.scripts import eval_cond_agents
+    from drivescenegen_tpu.training.checkpoint import save_params_only
+
+    model = UNet2D(COND_TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32)
+    )
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir)
+    save_params_only(str(model_dir), params)
+    cfg = Config()
+    cfg.model = COND_TINY
+    save_config(cfg, str(model_dir / "config.yaml"))
+
+    ras_dir = tmp_path / "ras"
+    os.makedirs(ras_dir)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = np.full((16, 16, 3), 128, np.uint8)
+        img[rng.integers(2, 14), :, 0] = 240  # a lane-ish stroke
+        img[rng.integers(2, 13) : rng.integers(13, 15), 4:7, 2] = 220  # blue blob
+        Image.fromarray(img).save(ras_dir / f"{i}.png")
+
+    out = tmp_path / "cfg_eval.json"
+    cfg_yaml = tmp_path / "cfg.yaml"
+    save_config(cfg, str(cfg_yaml))
+    eval_cond_agents.main([
+        "--cfg_file", str(cfg_yaml), "--model_dir", str(model_dir),
+        "--raster_dir", str(ras_dir), "--guidance", "1,3",
+        "--num", "3", "--batch_size", "2", "--steps", "2",
+        "--json_out", str(out),
+    ])
+    with open(out) as f:
+        res = json.load(f)
+    assert res["n_images"] == 3
+    assert set(res["results"]) == {"guidance_1", "guidance_3"}
+    for r in res["results"].values():
+        for k in ("precision", "recall", "f1", "mean_center_err_m", "n_pred"):
+            assert k in r
