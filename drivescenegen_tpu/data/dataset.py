@@ -155,6 +155,26 @@ def batch_iterator(
             pass
 
 
+def sidecar_path(files: Sequence[str], img_res: int, n_channels: int,
+                 dtype) -> str:
+    """Digest-keyed sidecar path for a decoded corpus.
+
+    One keying expression shared by every producer/consumer of sidecars
+    (decoded_corpus, the rasterization-time writer in
+    scripts/data_rasterization.py, tools/stitch_sidecar70k.py). Paths are
+    normalized so a config glob spelled "./outputs/x/*.png" and a build
+    script spelled "outputs/x" key the same corpus.
+    """
+    import hashlib
+
+    norm = [os.path.normpath(f) for f in files]
+    digest = hashlib.sha1(
+        ("\n".join(norm) + f"|{img_res}|{n_channels}"
+         + f"|{np.dtype(dtype)}").encode()
+    ).hexdigest()[:16]
+    return os.path.join(os.path.dirname(files[0]), f".devcache_{digest}.npy")
+
+
 def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
     """Decode the whole dataset to one [N, H, W, C] host array, backed by a
     persistent sidecar file.
@@ -163,18 +183,15 @@ def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
     again on every crash-recovery relaunch. The sidecar is keyed by the file
     list + decode params, so corpus edits invalidate it; device_put streams
     straight off the mmap. Callable standalone (see __main__) to prebuild a
-    corpus sidecar on the host while the chip is busy with another run.
+    corpus sidecar on the host while the chip is busy with another run —
+    and data_rasterization --save_sidecar writes it at rasterization time
+    (the arrays are in memory pre-PNG-encode), skipping this decode
+    entirely on a fresh host.
     """
-    import hashlib
-
     n = len(dataset)
     sample0 = dataset[0]
-    digest = hashlib.sha1(
-        ("\n".join(dataset.files) + f"|{dataset.img_res}|{dataset.n_channels}"
-         + f"|{sample0.dtype}").encode()
-    ).hexdigest()[:16]
-    cache_path = os.path.join(
-        os.path.dirname(dataset.files[0]), f".devcache_{digest}.npy"
+    cache_path = sidecar_path(
+        dataset.files, dataset.img_res, dataset.n_channels, sample0.dtype
     )
     if os.path.exists(cache_path):
         try:

@@ -23,7 +23,7 @@ from drivescenegen_tpu.config import load_config
 from drivescenegen_tpu.utils.io import split_round_robin
 
 
-def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None):
+def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None, sidecar=None):
     # Keep worker processes off the TPU: the splat kernels are tiny and the
     # per-process TPU runtime would serialize on the single chip.
     import jax
@@ -32,6 +32,14 @@ def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None):
     from PIL import Image
 
     from drivescenegen_tpu.ops.raster import rasterize_scenario
+
+    # Decoded-corpus sidecar rows, written at rasterization time while the
+    # uint8 array is still in memory (pre-PNG-encode) — a fresh host then
+    # skips decoded_corpus's ~35-min 1-core PNG re-decode entirely. Workers
+    # write disjoint precomputed global rows of one shared memmap.
+    smm = None
+    if sidecar is not None:
+        sidecar_tmp, rows = sidecar
 
     for i, path in enumerate(files):
         try:
@@ -54,6 +62,12 @@ def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None):
                 mode=cfg_raster.mode,
             )
             arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+            if sidecar is not None and arr.ndim == 3 and arr.shape[-1] == 3:
+                if smm is None:
+                    smm = np.load(sidecar_tmp, mmap_mode="r+")
+                # Byte-identical to the PNG decode the sidecar replaces
+                # (lossless 8-bit RGB roundtrip; verified post-pass).
+                smm[rows[i]] = arr
             if arr.shape[-1] == 1:
                 arr = arr[..., 0]  # occupancy mode saves grayscale
             Image.fromarray(arr).save(os.path.join(out_dir, f"{proc_id}_{i}.png"))
@@ -87,6 +101,11 @@ def main():
     parser.add_argument("--save_vector_tensor", action="store_true",
                         help="also save the padded vector-map tensor per "
                              "scenario (reference save_png_polys branch)")
+    parser.add_argument("--save_sidecar", action="store_true",
+                        help="also write the decoded-corpus device sidecar "
+                             "(data/dataset.py sidecar_path) at rasterization "
+                             "time, so training never pays the 1-core PNG "
+                             "re-decode (RGB modes only)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg_file)
@@ -106,14 +125,49 @@ def main():
 
     t0 = time.perf_counter()
     n_workers = max(1, min(args.n_workers, len(all_files)))
+    shards = (
+        [all_files] if n_workers == 1
+        else split_round_robin(all_files, n_workers)
+    )
+
+    # Sidecar setup: output names are deterministic ("{pid}_{i}.png"), so the
+    # final sorted-corpus row of every image is known BEFORE rasterizing and
+    # workers can write straight into one shared memmap — no assemble pass.
+    sidecar_tmp = cache_path = expected = None
+    row_lists = [None] * len(shards)
+    if args.save_sidecar:
+        from drivescenegen_tpu.data.dataset import sidecar_path
+
+        named = [
+            (os.path.join(out_dir, f"{pid}_{i}.png"), pid, i)
+            for pid, shard in enumerate(shards)
+            for i in range(len(shard))
+        ]
+        named.sort(key=lambda t: t[0])
+        expected = [t[0] for t in named]
+        row_of = {(pid, i): row for row, (_, pid, i) in enumerate(named)}
+        row_lists = [
+            [row_of[(pid, i)] for i in range(len(shard))]
+            for pid, shard in enumerate(shards)
+        ]
+        cache_path = sidecar_path(expected, raster.img_res, 3, np.uint8)
+        sidecar_tmp = cache_path + ".tmp"
+        m = np.lib.format.open_memmap(
+            sidecar_tmp, mode="w+", dtype=np.uint8,
+            shape=(len(all_files), raster.img_res, raster.img_res, 3),
+        )
+        del m  # workers reopen r+ and fill disjoint rows
+
     if n_workers == 1:
-        _worker(all_files, raster, out_dir, 0, vec_dir)
+        _worker(all_files, raster, out_dir, 0, vec_dir,
+                (sidecar_tmp, row_lists[0]) if sidecar_tmp else None)
     else:
-        shards = split_round_robin(all_files, n_workers)
         procs = []
         for pid, shard in enumerate(shards):
             p = multiprocessing.Process(
-                target=_worker, args=(shard, raster, out_dir, pid, vec_dir)
+                target=_worker,
+                args=(shard, raster, out_dir, pid, vec_dir,
+                      (sidecar_tmp, row_lists[pid]) if sidecar_tmp else None),
             )
             p.start()
             procs.append(p)
@@ -122,6 +176,40 @@ def main():
     dt = time.perf_counter() - t0
     n = len(glob.glob(os.path.join(out_dir, "*.png")))
     print(f"Rasterized {n} scenarios in {dt:.1f}s -> {out_dir}")
+
+    if sidecar_tmp is not None:
+        _finalize_sidecar(out_dir, raster.img_res, expected, sidecar_tmp,
+                          cache_path)
+
+
+def _finalize_sidecar(out_dir, img_res, expected, sidecar_tmp, cache_path):
+    """Promote the rasterization-time sidecar iff it provably matches what
+    decoded_corpus would produce: the on-disk PNG set must equal the
+    precomputed file list (any worker failure leaves a hole and shifts sort
+    order), and random rows must be byte-equal to the PNG decode."""
+    from drivescenegen_tpu.data.dataset import RasterDataset
+
+    actual = sorted(glob.glob(os.path.join(out_dir, "*.png")))
+    ok = (
+        [os.path.normpath(a) for a in actual]
+        == [os.path.normpath(e) for e in expected]
+    )
+    if ok:
+        ds = RasterDataset(os.path.join(out_dir, "*.png"), img_res=img_res,
+                           n_channels=3, raw=True)
+        m = np.load(sidecar_tmp, mmap_mode="r")
+        idxs = np.random.default_rng(0).choice(
+            len(actual), size=min(8, len(actual)), replace=False
+        )
+        ok = all(np.array_equal(m[int(i)], ds[int(i)]) for i in idxs)
+        del m
+    if ok:
+        os.replace(sidecar_tmp, cache_path)
+        print(f"sidecar written: {cache_path}")
+    else:
+        os.remove(sidecar_tmp)
+        print("sidecar discarded (PNG set / row mismatch); "
+              "decoded_corpus will rebuild it by decode")
 
 
 if __name__ == "__main__":

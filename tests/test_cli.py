@@ -262,3 +262,58 @@ def test_end_to_end_dpm_sampler(tmp_path):
         stats = json.load(f)
     assert stats["n_images"] == 2
     assert stats["sampler"] == "dpm-3"
+
+
+def test_rasterization_save_sidecar_matches_decode(tmp_path):
+    """--save_sidecar writes the decoded-corpus sidecar at rasterization
+    time; decoded_corpus must pick it up (digest hit, no decode) and its
+    rows must be byte-equal to the PNG-decode path."""
+    import glob
+    import pickle
+    import sys
+
+    from drivescenegen_tpu.data.dataset import (
+        RasterDataset,
+        decoded_corpus,
+        sidecar_path,
+    )
+    from drivescenegen_tpu.data.preprocess import decode_scenario
+    from drivescenegen_tpu.data.synthetic import make_synthetic_scenario
+    from drivescenegen_tpu.scripts import data_rasterization
+
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    for i in range(5):
+        info = decode_scenario(make_synthetic_scenario(seed=i))
+        with open(pre / f"sample_{i}.pkl", "wb") as f:
+            pickle.dump(info, f)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("raster:\n  img_res: 64\n")
+
+    argv = sys.argv
+    try:
+        sys.argv = ["x", "--load_path", str(pre), "--save_path",
+                    str(tmp_path / "ras"), "--cfg_file", str(cfg),
+                    "--n_workers", "2", "--save_sidecar"]
+        data_rasterization.main()
+    finally:
+        sys.argv = argv
+
+    out_dir = str(tmp_path / "ras" / "GT_70k_s80_dxdy_agents_img")
+    pngs = sorted(glob.glob(out_dir + "/*.png"))
+    assert len(pngs) == 5
+    expected = sidecar_path(pngs, 64, 3, np.uint8)
+    assert list(glob.glob(out_dir + "/.devcache_*.npy")) == [expected]
+
+    # decoded_corpus must hit the sidecar; rows equal the decode path.
+    ds = RasterDataset(out_dir + "/*.png", img_res=64, n_channels=3, raw=True)
+    m = decoded_corpus(ds)
+    for i in range(5):
+        assert np.array_equal(m[i], ds[i])
+
+    # Digest is spelling-insensitive: "./path" and "path" key identically
+    # (config globs say "./outputs/..."; build scripts say "outputs/...").
+    assert (
+        sidecar_path(["./a/b.png", "./a/c.png"], 64, 3, np.uint8).split("/")[-1]
+        == sidecar_path(["a/b.png", "a/c.png"], 64, 3, np.uint8).split("/")[-1]
+    )

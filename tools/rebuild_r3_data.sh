@@ -29,7 +29,7 @@ fi
 if [ "$(ls outputs/flagship/ras/GT_70k_s80_dxdy_agents_img 2>/dev/null | wc -l)" -lt "$N_TRAIN" ]; then
   python -m drivescenegen_tpu.scripts.data_rasterization \
       --load_path outputs/flagship/pre \
-      --save_path outputs/flagship/ras --n_workers 4
+      --save_path outputs/flagship/ras --n_workers 4 --save_sidecar
 fi
 
 if [ ! -f outputs/flagship/pre_heldout/processed_scenarios_20s.pkl ] || \

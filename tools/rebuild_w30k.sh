@@ -30,7 +30,7 @@ if [ "$(ls outputs/flagship/ras_w30k/GT_70k_s80_dxdy_agents_img 2>/dev/null | wc
   echo "$(date -u +%FT%TZ) rebuild_w30k: rasterizing"
   python -m drivescenegen_tpu.scripts.data_rasterization \
       --load_path outputs/flagship/pre_w30k \
-      --save_path outputs/flagship/ras_w30k --n_workers 4
+      --save_path outputs/flagship/ras_w30k --n_workers 4 --save_sidecar
 fi
 
 if [ "$(ls "$RAS70K" 2>/dev/null | grep -c '\.png$')" -lt 70000 ]; then

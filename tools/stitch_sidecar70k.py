@@ -22,7 +22,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from drivescenegen_tpu.config import load_config
-from drivescenegen_tpu.data.dataset import RasterDataset, decoded_corpus
+from drivescenegen_tpu.data.dataset import (
+    RasterDataset,
+    decoded_corpus,
+    sidecar_path,
+)
+
+
+def _find_cache(dirname, shape, dtype):
+    """Shape/dtype-matched .devcache scan (digest-agnostic: the source dirs'
+    own caches are keyed by their own file lists)."""
+    for f in sorted(os.listdir(dirname)):
+        if not f.startswith(".devcache_"):
+            continue
+        try:
+            m = np.load(os.path.join(dirname, f), mmap_mode="r")
+        except Exception:
+            continue
+        if m.shape == shape and m.dtype == dtype:
+            return m, os.path.join(dirname, f)
+    return None, None
 
 
 def main(cfg_path: str) -> None:
@@ -36,16 +55,8 @@ def main(cfg_path: str) -> None:
     )
     n = len(ds)
     sample0 = ds[0]
-    # Same keying expression as decoded_corpus (data/dataset.py:172-178).
-    import hashlib
-
-    digest = hashlib.sha1(
-        ("\n".join(ds.files) + f"|{ds.img_res}|{ds.n_channels}"
-         + f"|{sample0.dtype}").encode()
-    ).hexdigest()[:16]
-    cache_path = os.path.join(
-        os.path.dirname(ds.files[0]), f".devcache_{digest}.npy"
-    )
+    # Same keying expression as decoded_corpus (shared helper).
+    cache_path = sidecar_path(ds.files, ds.img_res, ds.n_channels, sample0.dtype)
     if os.path.exists(cache_path):
         print(f"stitch: sidecar already present: {cache_path}")
         return
@@ -53,28 +64,29 @@ def main(cfg_path: str) -> None:
     # Locate the 40k sidecar by shape match among existing caches.
     n_old = sum(1 for f in ds.files if "/w_" not in f)
     old_dir = os.path.dirname(os.path.realpath(ds.files[0]))
-    old = None
-    for f in sorted(os.listdir(old_dir)):
-        if not f.startswith(".devcache_"):
-            continue
-        try:
-            m = np.load(os.path.join(old_dir, f), mmap_mode="r")
-        except Exception:
-            continue
-        if m.shape == (n_old, *sample0.shape) and m.dtype == sample0.dtype:
-            old = m
-            print(f"stitch: reusing {os.path.join(old_dir, f)} for rows 0..{n_old - 1}")
-            break
+    old, old_path = _find_cache(old_dir, (n_old, *sample0.shape), sample0.dtype)
     full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
     if old is not None:
         # The first n_old sorted ras70k entries are symlinks to the SAME
         # basenames the old sidecar was built from, in the same sort order.
         assert all("/w_" not in f for f in ds.files[:n_old])
+        print(f"stitch: reusing {old_path} for rows 0..{n_old - 1}")
         np.copyto(full[:n_old], old)
         start = n_old
     else:
-        print("stitch: no reusable sidecar found; decoding everything")
+        print("stitch: no reusable head sidecar found; decoding the head")
         start = 0
+    # The widened tail may also have a rasterization-time sidecar
+    # (data_rasterization --save_sidecar) in its own source dir.
+    if start == n_old and n_old < n:
+        tail_dir = os.path.dirname(os.path.realpath(ds.files[n_old]))
+        tail, tail_path = _find_cache(
+            tail_dir, (n - n_old, *sample0.shape), sample0.dtype
+        )
+        if tail is not None:
+            print(f"stitch: reusing {tail_path} for rows {n_old}..{n - 1}")
+            np.copyto(full[n_old:], tail)
+            start = n
     for i in range(start, n):
         full[i] = ds[i]
         if (i - start) % 2048 == 0:

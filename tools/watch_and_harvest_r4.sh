@@ -16,7 +16,7 @@ cd "$(dirname "$0")/.."
 CFG=${1:-drivescenegen_tpu/configs/flagship_256_r4.yaml}
 PIDFILE=/tmp/flagship_sup.pid
 TRAIN_LOG=outputs/flagship/train_r4.log
-TARGET_STEP=150000
+TARGET_STEP=${TARGET_STEP:-150000}
 DEADLINE=${HARVEST_DEADLINE:-$(cat /tmp/harvest_deadline 2>/dev/null || echo 0)}
 
 alive() {
