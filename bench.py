@@ -188,6 +188,28 @@ def _quality_record():
                 rec["frechet"] = {k: round(v, 3)
                                   for k, v in m.get("frechet", {}).items()}
             break
+    # The harvest's quality fallback (stochastic DDIM-100 eta=1, run when
+    # the deterministic winner rejects >15% as speckle) is the usable
+    # quality read in that case — report it alongside, not instead.
+    qp = "outputs/flagship/e2e5k_r4q/vectorization_stats.json"
+    if os.path.exists(qp):
+        with open(qp) as f:
+            st = json.load(f)
+        n = max(st.get("n_images", 0), 1)
+        fb = {
+            "sampler": st.get("sampler"),
+            "n_images": st.get("n_images"),
+            "rejection_rate": round(
+                (st.get("n_rejected", 0) + st.get("n_failed", 0)) / n, 3
+            ),
+        }
+        mp = "outputs/flagship/metrics_model_r4q.json"
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            fb["frechet"] = {k: round(v, 3)
+                             for k, v in m.get("frechet", {}).items()}
+        rec["fallback"] = fb
     return rec or None
 
 
