@@ -17,8 +17,15 @@ RT=outputs/flagship/roundtrip
 
 hb() { echo "$(date -u +%FT%TZ) calibration: $*"; }
 
+stitch_done() {
+    grep -q "rebuild_w30k: DONE" outputs/rebuild_w30k.log 2>/dev/null && return 0
+    # session_r4b rebuild path: the stitched 70k sidecar existing IS done.
+    ls outputs/flagship/ras70k/GT_70k_s80_dxdy_agents_img/.devcache_*.npy \
+        >/dev/null 2>&1
+}
+
 WAITED=0
-until grep -q "rebuild_w30k: DONE" outputs/rebuild_w30k.log 2>/dev/null; do
+until stitch_done; do
     [ "$WAITED" -ge 5400 ] && { hb "stitch never finished; proceeding anyway"; break; }
     sleep 60; WAITED=$((WAITED + 60))
 done
