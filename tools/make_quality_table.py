@@ -1,0 +1,79 @@
+"""Render the round's quality table (STATUS.md format) from harvest
+artifacts: model-vs-GT metrics JSON + the calibrated roundtrip-ceiling and
+noise-floor rows + the 5k run's survivorship stats.
+
+Usage:
+  python tools/make_quality_table.py \
+      [--model outputs/flagship/metrics_model_r4.json] \
+      [--ceiling docs/results_r4/metrics_roundtrip_r4.json] \
+      [--floor docs/results_r4/metrics_noise_floor_r4.json] \
+      [--stats outputs/flagship/e2e5k_r4/vectorization_stats.json]
+
+Pure host-side (no jax import). Prints markdown to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="outputs/flagship/metrics_model_r4.json")
+    ap.add_argument("--ceiling", default="docs/results_r4/metrics_roundtrip_r4.json")
+    ap.add_argument("--floor", default="docs/results_r4/metrics_noise_floor_r4.json")
+    ap.add_argument("--stats",
+                    default="outputs/flagship/e2e5k_r4/vectorization_stats.json")
+    args = ap.parse_args()
+
+    model, ceil, floor = load(args.model), load(args.ceiling), load(args.floor)
+    stats = load(args.stats)
+
+    if stats:
+        n = max(stats.get("n_images", 0), 1)
+        rej = (stats.get("n_rejected", 0) + stats.get("n_failed", 0)) / n
+        print(f"Run: {stats.get('sampler')} | {stats.get('n_images')} scenes | "
+              f"ok {stats.get('n_ok')} / rejected {stats.get('n_rejected')} / "
+              f"failed {stats.get('n_failed')} (rejection {rej:.1%}) | "
+              f"wall {stats.get('wall_time_s', 0):.0f}s"
+              + (f" (sampling {stats['sampling_wall_s']:.0f}s)"
+                 if stats.get("sampling_wall_s") else ""))
+        print()
+
+    if not model:
+        print(f"(no model metrics at {args.model})")
+        return
+
+    def fmt(x):
+        if x is None:
+            return "—"
+        return f"{x:.4g}" if abs(x) < 1 else f"{x:.1f}" if abs(x) >= 10 else f"{x:.3g}"
+
+    rows = list(model.get("frechet", {}).keys())
+    print("| Frechet | model vs GT | roundtrip ceiling | noise floor | model/ceiling |")
+    print("|---|---|---|---|---|")
+    for k in rows:
+        m = model["frechet"].get(k)
+        c = (ceil or {}).get("frechet", {}).get(k)
+        f = (floor or {}).get("frechet", {}).get(k)
+        ratio = f"{m / c:.2f}x" if m is not None and c else "—"
+        print(f"| {k} | {fmt(m)} | {fmt(c)} | {fmt(f)} | {ratio} |")
+    for k in ("mmd_degrees", "mmd_spectrum"):
+        m, c, f = model.get(k), (ceil or {}).get(k), (floor or {}).get(k)
+        ratio = f"{m / c:.2f}x" if m is not None and c else "—"
+        print(f"| {k.replace('mmd_', 'MMD ')} | {fmt(m)} | {fmt(c)} | {fmt(f)} | {ratio} |")
+    print(f"\nn_gen_graphs={model.get('n_gen_graphs')} "
+          f"n_gt_graphs={model.get('n_gt_graphs')}")
+
+
+if __name__ == "__main__":
+    main()
