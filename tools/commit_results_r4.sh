@@ -29,6 +29,7 @@ cp_if outputs/cond128/cfg_eval.json "$DEST/cfg_eval_128.json"
 cp_if BENCH_local_r4.json "$DEST/BENCH_local_r4.json"
 cp_if BENCH_local_r4_final.json "$DEST/BENCH_local_r4_final.json"
 cp_if outputs/flagship/harvest_r4.log "$DEST/harvest_r4.log"
+cp_if outputs/flagship/model/quality_probe.jsonl "$DEST/quality_probe.jsonl"
 
 # A few representative sample rasters (small PNGs) for the docs.
 i=0
