@@ -188,7 +188,9 @@ def process_files(
 
     import multiprocessing as mp
 
-    with mp.Pool(min(n_workers, len(data_files))) as pool:
+    # spawn (not fork): callers (tests, fused scripts) may already hold JAX
+    # or TF threads whose locks a forked child would inherit mid-acquire.
+    with mp.get_context("spawn").Pool(min(n_workers, len(data_files))) as pool:
         results = pool.starmap(
             process_tfrecord_file, [(f, save_path, backend) for f in data_files]
         )

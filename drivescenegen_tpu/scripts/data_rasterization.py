@@ -162,9 +162,15 @@ def main():
         _worker(all_files, raster, out_dir, 0, vec_dir,
                 (sidecar_tmp, row_lists[0]) if sidecar_tmp else None)
     else:
+        # spawn (not fork): the parent may hold live JAX/XLA threads (in
+        # production the raster config build can initialize JAX; in tests the
+        # CLI runs in-process after other suites) and a forked child inherits
+        # their locked mutexes — observed live as a futex-hung worker
+        # (STATUS r3 #14) and again as a wedged test run this round.
+        ctx = multiprocessing.get_context("spawn")
         procs = []
         for pid, shard in enumerate(shards):
-            p = multiprocessing.Process(
+            p = ctx.Process(
                 target=_worker,
                 args=(shard, raster, out_dir, pid, vec_dir,
                       (sidecar_tmp, row_lists[pid]) if sidecar_tmp else None),
