@@ -6,6 +6,7 @@ from drivescenegen_tpu.diffusion.samplers import (  # noqa: F401
     ddpm_sample,
     ddim_sample,
     dpmpp_2m_sample,
+    dpmpp_2m_sde_sample,
     ddpm_timesteps,
     ddim_timesteps,
 )

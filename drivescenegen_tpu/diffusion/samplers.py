@@ -259,3 +259,83 @@ def dpmpp_2m_sample(
         body, (x, jnp.zeros(shape, jnp.float32)), xs, unroll=unroll
     )
     return x
+
+
+def dpmpp_2m_sde_sample(
+    denoise_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape,
+    key: jax.Array,
+    num_inference_steps: int = 25,
+    spacing: str = "trailing",
+    unroll: int = 1,
+) -> jax.Array:
+    """SDE-DPM-Solver++(2M): the STOCHASTIC second-order multistep solver
+    (Lu et al., arXiv:2211.01095 §4; semantics of diffusers
+    DPMSolverMultistepScheduler with algorithm_type="sde-dpmsolver++",
+    solver_order=2, final_sigmas_type="zero").
+
+    Why it exists here: deterministic ODE solvers (DDIM eta=0, DPM++(2M))
+    integrate the model's epsilon error coherently step to step, which on
+    this model family shows up as high-frequency lane speckle (round-2/3
+    failure mode, docs/samples/model_ddim50_eta0_speckle.png) — while
+    ancestral sampling (DDIM eta=1 / the reference's 750-step DDPM,
+    scripts/generation.py:14-20) re-injects noise each step and washes the
+    correlated error out. This sampler keeps the ancestral noise injection
+    AND second-order accuracy, targeting DDIM-100-eta1 quality at ~25 steps
+    (4x fewer UNet evals — the whole cost on TPU).
+
+    Per-step update (h = lambda_prev - lambda_cur > 0):
+      x <- (sigma_p/sigma_c) e^{-h} x + alpha_p (1 - e^{-2h}) D
+           + sigma_p sqrt(1 - e^{-2h}) z,   z ~ N(0, I)
+    with the same second-order data combination D as the deterministic 2M
+    (D = w_c x0_i + w_p x0_{i-1}). At the final sigma=0 target h=inf, so
+    the carry and noise coefficients vanish and the update returns D
+    exactly; step 0 (no history) and the final step run first order.
+    """
+    ts = ddim_timesteps(schedule, num_inference_steps, spacing=spacing)
+    n = int(ts.shape[0])
+
+    acp = schedule.alphas_cumprod
+    acp_cur = acp[ts]
+    acp_prev = jnp.concatenate([acp[ts[1:]], jnp.ones((1,), acp.dtype)])
+    alpha_c, sigma_c = jnp.sqrt(acp_cur), jnp.sqrt(1.0 - acp_cur)
+    alpha_p, sigma_p = jnp.sqrt(acp_prev), jnp.sqrt(1.0 - acp_prev)
+    lam_c = jnp.log(alpha_c) - jnp.log(sigma_c)
+    lam_p = jnp.log(alpha_p) - jnp.log(sigma_p)  # +inf at the final target
+    h = lam_p - lam_c
+    e2h = jnp.exp(-2.0 * h)  # exp(-inf) = 0 at the final step
+    c_x = sigma_p / sigma_c * jnp.exp(-h)  # 0 at the end (sigma_p=0)
+    c_d = alpha_p * (1.0 - e2h)  # exactly alpha_p = 1 at the end
+    c_n = sigma_p * jnp.sqrt(jnp.clip(1.0 - e2h, 0.0, None))  # 0 at the end
+
+    h_prev = jnp.concatenate([h[:1], h[:-1]])
+    r = h_prev / jnp.maximum(h, 1e-20)
+    w_c = 1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-20))
+    w_p = -1.0 / (2.0 * jnp.maximum(r, 1e-20))
+    first_order = jnp.zeros((n,), bool).at[0].set(True)
+    if n > 1:
+        first_order = first_order.at[n - 1].set(True)
+    w_c = jnp.where(first_order, 1.0, w_c)
+    w_p = jnp.where(first_order, 0.0, w_p)
+
+    # Same key-split convention as _sample_loop: sampler A/Bs from one seed
+    # integrate the SAME x_T, and per-step noise uses the loop_key stream.
+    x_T_key, loop_key = jax.random.split(key)
+    x = jax.random.normal(x_T_key, shape, dtype=jnp.float32)
+
+    def body(carry, inputs):
+        x, x0_prev = carry
+        t, i, cx_i, cd_i, cn_i, wc_i, wp_i = inputs
+        eps = denoise_fn(x, t).astype(jnp.float32)
+        x0 = schedule.pred_x0_from_eps(x, eps, t)
+        d = wc_i * x0 + wp_i * x0_prev
+        z = jax.random.normal(jax.random.fold_in(loop_key, i), shape, jnp.float32)
+        x = cx_i * x + cd_i * d + cn_i * z
+        return (x, x0), ()
+
+    xs = (ts, jnp.arange(n, dtype=jnp.int32), c_x, c_d, c_n, w_c, w_p)
+    (x, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros(shape, jnp.float32)), xs, unroll=unroll
+    )
+    return x

@@ -77,7 +77,7 @@ def main(argv=None):
     parser.add_argument("--num_scenes", default=5000, type=int)
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--sampler", default="ddim",
-                        choices=["ddpm", "ddim", "dpm"])
+                        choices=["ddpm", "ddim", "dpm", "sde"])
     parser.add_argument("--steps", default=0, type=int)
     parser.add_argument("--eta", default=None, type=float,
                         help="DDIM stochasticity (see generation --eta)")
@@ -120,6 +120,7 @@ def main(argv=None):
     steps = args.steps or (
         cfg.generation.ddim_steps if args.sampler == "ddim"
         else 20 if args.sampler == "dpm"
+        else 25 if args.sampler == "sde"
         else cfg.generation.num_inference_steps
     )
 
@@ -145,6 +146,14 @@ def main(argv=None):
     elif args.sampler == "dpm":
         fn = functools.partial(
             dpmpp_2m_sample, spacing=args.spacing or "trailing"
+        )
+    elif args.sampler == "sde":
+        from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+        # Stochastic second-order solver: ancestral-quality output (no
+        # deterministic-path speckle) at ~4x fewer steps than DDIM eta=1.
+        fn = functools.partial(
+            dpmpp_2m_sde_sample, spacing=args.spacing or "trailing"
         )
     else:
         fn = ddpm_sample

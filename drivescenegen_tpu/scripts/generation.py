@@ -81,7 +81,7 @@ def main(argv=None):
     parser.add_argument("--model_dir", default=None, type=str)
     parser.add_argument("--output_dir", default=None, type=str)
     parser.add_argument("--sampler", default=None,
-                        choices=[None, "ddpm", "ddim", "dpm"])
+                        choices=[None, "ddpm", "ddim", "dpm", "sde"])
     parser.add_argument("--steps", default=0, type=int)
     parser.add_argument("--batch_size", default=0, type=int)
     parser.add_argument("--num_batches", default=0, type=int)
@@ -116,6 +116,7 @@ def main(argv=None):
     steps = args.steps or (
         gcfg.ddim_steps if sampler == "ddim"
         else 20 if sampler == "dpm"
+        else 25 if sampler == "sde"
         else gcfg.num_inference_steps
     )
     batch_size = args.batch_size or gcfg.batch_size
@@ -155,6 +156,16 @@ def main(argv=None):
         # user asked otherwise (leading spacing never visits the pure-noise
         # end, which hurts most at DPM's low step counts).
         fn = functools.partial(dpmpp_2m_sample, spacing=args.spacing or "trailing")
+    elif sampler == "sde":
+        import functools
+
+        from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+        # Stochastic second-order solver: ancestral-quality output (no
+        # deterministic-path speckle) at ~4x fewer steps than DDIM eta=1.
+        fn = functools.partial(
+            dpmpp_2m_sde_sample, spacing=args.spacing or "trailing"
+        )
     else:
         fn = ddpm_sample
 

@@ -264,6 +264,45 @@ def test_end_to_end_dpm_sampler(tmp_path):
     assert stats["sampler"] == "dpm-3"
 
 
+def test_end_to_end_sde_sampler(tmp_path):
+    """The fused pipeline accepts --sampler sde (SDE-DPM-Solver++(2M), the stochastic
+    second-order solver) and
+    produces complete artifacts and survivorship accounting."""
+    import glob
+    import json
+
+    from drivescenegen_tpu.scripts import end_to_end, train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  sample_size: 16\n  block_out_channels: [8, 16]\n"
+        "  layers_per_block: 1\n  norm_num_groups: 4\n  attention_head_dim: 8\n"
+        "  dtype: float32\n"
+        f"train:\n  batch_size: 8\n  output_dir: {tmp_path}/out\n"
+        f"  dataset_glob: '{d}/*.png'\n  ema_decay: 0.0\n"
+    )
+    train.main(["--cfg_file", str(cfg), "--max_steps", "1"])
+
+    out = tmp_path / "e2e_sde"
+    end_to_end.main([
+        "--cfg_file", str(cfg), "--model_dir", f"{tmp_path}/out",
+        "--output_dir", str(out), "--num_scenes", "2", "--batch_size", "2",
+        "--sampler", "sde", "--steps", "3", "--n_workers", "1",
+    ])
+    assert len(glob.glob(str(out / "diffusion" / "*.png"))) == 2
+    with open(out / "vectorization_stats.json") as f:
+        stats = json.load(f)
+    assert stats["n_images"] == 2
+    assert stats["sampler"] == "sde-3"
+
+
 def test_rasterization_save_sidecar_matches_decode(tmp_path):
     """--save_sidecar writes the decoded-corpus sidecar at rasterization
     time; decoded_corpus must pick it up (digest hit, no decode) and its

@@ -218,3 +218,92 @@ def test_dpm_starts_from_same_xT_as_ddim(schedule):
     b = ddim_sample(zero_eps, schedule, (1, 4, 4, 3), key, 1,
                     spacing="trailing")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---------------- SDE-DPM-Solver++(2M) ----------------
+
+def test_sde_recovers_target(schedule):
+    """With an oracle denoiser pinned to a point mass, every x0 prediction
+    is the target, so the injected per-step noise must wash out and the
+    final sigma=0 update returns the target exactly."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    target = jnp.full((1, 8, 8, 3), 0.35)
+    fn = _perfect_denoiser(schedule, target)
+    out = dpmpp_2m_sde_sample(fn, schedule, (1, 8, 8, 3), jax.random.key(0), 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-3)
+
+
+def test_sde_single_step_equals_ddim(schedule):
+    """At one step the carry and noise coefficients vanish (h=inf) and the
+    update returns the data prediction from t=T-1 — exactly DDIM-1."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    def zero_eps(x, t):
+        return jnp.zeros_like(x)
+
+    key = jax.random.key(23)
+    a = dpmpp_2m_sde_sample(zero_eps, schedule, (1, 4, 4, 3), key, 1)
+    b = ddim_sample(zero_eps, schedule, (1, 4, 4, 3), key, 1,
+                    spacing="trailing")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sde_gaussian_marginal(schedule):
+    """THE property that distinguishes the SDE solver from the deterministic
+    ones: it must land on the correct DATA MARGINAL, not just transport a
+    fixed x_T. For Gaussian data x0 ~ N(0, s^2 I) the optimal eps-predictor
+    is linear and the true marginal is exactly N(0, s^2 I); the sampled
+    population's mean/std must match it. Deterministic DDIM from the same
+    x_T population also passes this (it is the exact linear-ODE map), so
+    additionally pin that the SDE chain is NOT the deterministic map: its
+    output must decorrelate from DDIM's given the same keys."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    s = 0.25
+    s2 = s * s
+
+    def gaussian_oracle(x, t):
+        acp = schedule.alphas_cumprod[t]
+        return jnp.sqrt(1.0 - acp) * x / (acp * s2 + (1.0 - acp))
+
+    shape = (64, 4, 4, 3)
+    out = dpmpp_2m_sde_sample(gaussian_oracle, schedule, shape,
+                              jax.random.key(31), 64)
+    arr = np.asarray(out).ravel()
+    assert abs(arr.mean()) < 0.02, arr.mean()
+    np.testing.assert_allclose(arr.std(), s, rtol=0.06)
+
+    det = np.asarray(ddim_sample(gaussian_oracle, schedule, shape,
+                                 jax.random.key(31), 64,
+                                 spacing="trailing")).ravel()
+    corr = np.corrcoef(arr, det)[0, 1]
+    assert abs(corr) < 0.35, corr  # stochastic path, not the ODE transport
+
+
+def test_sde_deterministic_given_key_and_unroll_invariant(schedule):
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    fn = _perfect_denoiser(schedule, jnp.full((1, 4, 4, 3), -0.1))
+    a = dpmpp_2m_sde_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 12)
+    b = dpmpp_2m_sde_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3), 12)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = dpmpp_2m_sde_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(4), 12)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    for unroll in (2, 5):
+        u = dpmpp_2m_sde_sample(fn, schedule, (1, 4, 4, 3), jax.random.key(3),
+                                12, unroll=unroll)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(u), atol=1e-6)
+
+
+def test_sde_finite_at_all_step_counts(schedule):
+    """h=inf at the final target and the r=h_prev/h weights must never leak
+    a NaN/Inf into the output at any step count, including non-divisor
+    grids."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    fn = _perfect_denoiser(schedule, jnp.zeros((1, 4, 4, 3)))
+    for n in (1, 2, 3, 7, 16):
+        out = dpmpp_2m_sde_sample(fn, schedule, (1, 4, 4, 3),
+                                  jax.random.key(n), n)
+        assert np.all(np.isfinite(np.asarray(out))), n

@@ -10,38 +10,43 @@ cd "$(dirname "$0")/.."
 
 CFG=${1:-drivescenegen_tpu/configs/flagship_256_r4.yaml}
 
-# 0. Sampler A/B at deterministic settings: DDIM-50 (both spacings) vs
-#    DPM-Solver++(2M) at 20/25 steps. 64 scenes each; lowest noise-rejection
+# 0. Sampler A/B: DDIM-50 (both spacings) vs DPM-Solver++(2M) 20/25 vs
+#    SDE-DPM-Solver++(2M) 25 (stochastic 2nd order — ancestral-class
+#    quality without the deterministic-path speckle) vs the known-good
+#    slow reference DDIM-100 eta=1. 64 scenes each; lowest noise-rejection
 #    rate wins the 5k run (ties prefer fewer steps). VERDICT r3 #4.
-for ARM in "ddim 50 leading" "ddim 50 trailing" "dpm 20 trailing" "dpm 25 trailing"; do
+for ARM in "ddim 50 leading 0" "ddim 50 trailing 0" "dpm 20 trailing 0" \
+           "dpm 25 trailing 0" "sde 25 trailing 0" "ddim 100 trailing 1"; do
   set -- $ARM
-  TAG=$1$2_$3
+  TAG=$1$2_$3_e$4
   [ -f outputs/flagship/ab_r4_${TAG}/vectorization_stats.json ] && continue
   python -m drivescenegen_tpu.scripts.end_to_end \
       --cfg_file "$CFG" \
       --output_dir outputs/flagship/ab_r4_${TAG} \
-      --num_scenes 64 --batch_size 8 --sampler "$1" --steps "$2" --eta 0 \
+      --num_scenes 64 --batch_size 8 --sampler "$1" --steps "$2" --eta "$4" \
       --spacing "$3" --n_workers 1 2>&1 | tail -3
 done
 WINNER=$(python - <<'EOF'
 import json
-arms = [("ddim", 50, "leading"), ("ddim", 50, "trailing"),
-        ("dpm", 20, "trailing"), ("dpm", 25, "trailing")]
-best, best_key = ("ddim", 50, "trailing"), (1e9, 1e9)
-for s, n, sp in arms:
+arms = [("ddim", 50, "leading", 0), ("ddim", 50, "trailing", 0),
+        ("dpm", 20, "trailing", 0), ("dpm", 25, "trailing", 0),
+        ("sde", 25, "trailing", 0), ("ddim", 100, "trailing", 1)]
+best, best_key = ("ddim", 100, "trailing", 1), (1e9, 1e9)
+for s, n, sp, eta in arms:
     try:
-        st = json.load(open(f"outputs/flagship/ab_r4_{s}{n}_{sp}/vectorization_stats.json"))
+        st = json.load(open(
+            f"outputs/flagship/ab_r4_{s}{n}_{sp}_e{eta}/vectorization_stats.json"))
         rej = (st["n_rejected"] + st["n_failed"]) / max(st["n_images"], 1)
     except Exception:
         continue
     if (rej, n) < best_key:
-        best, best_key = (s, n, sp), (rej, n)
+        best, best_key = (s, n, sp, eta), (rej, n)
 print(*best)
 EOF
 )
 set -- $WINNER
-SAMPLER=$1; STEPS=$2; SPACING=$3
-echo "A/B winner: $SAMPLER-$STEPS $SPACING"
+SAMPLER=$1; STEPS=$2; SPACING=$3; ETA=$4
+echo "A/B winner: $SAMPLER-$STEPS $SPACING eta=$ETA"
 
 # 1. Fused 5k at the A/B-winning deterministic setting, with the wall-clock
 #    budget record (VERDICT r3 #6: BASELINE's <15-min 5k target). Retried
@@ -55,7 +60,7 @@ while [ ! -f outputs/flagship/e2e5k_r4/vectorization_stats.json ] \
       --cfg_file "$CFG" \
       --output_dir outputs/flagship/e2e5k_r4 \
       --num_scenes 5120 --batch_size 8 --sampler "$SAMPLER" --steps "$STEPS" \
-      --eta 0 --spacing "$SPACING" --resume \
+      --eta "$ETA" --spacing "$SPACING" --resume \
       --n_workers 1 2>&1 | tee -a outputs/flagship/e2e5k_r4.log | tail -3
   [ -f outputs/flagship/e2e5k_r4/vectorization_stats.json ] && break
   echo "e2e5k attempt $ATTEMPT failed; waiting for device health"
@@ -108,7 +113,8 @@ except Exception:
     print(0)
 EOF
 )
-if [ "$NEED_FALLBACK" = "1" ] && [ ! -f outputs/flagship/e2e5k_r4q/vectorization_stats.json ]; then
+if [ "$NEED_FALLBACK" = "1" ] && [ "$ETA" = "0" ] \
+   && [ ! -f outputs/flagship/e2e5k_r4q/vectorization_stats.json ]; then
   python -m drivescenegen_tpu.scripts.end_to_end \
       --cfg_file "$CFG" \
       --output_dir outputs/flagship/e2e5k_r4q \
