@@ -12,7 +12,8 @@ mkdir -p "$DEST" docs/samples
 cp_if() { [ -e "$1" ] && cp "$1" "$2" && echo "  + $2"; }
 
 echo "collecting round-4 artifacts:"
-for ARM in ddim50_leading ddim50_trailing dpm20_trailing dpm25_trailing; do
+for ARM in ddim50_leading_e0 ddim50_trailing_e0 dpm20_trailing_e0 \
+           dpm25_trailing_e0 sde25_trailing_e0 ddim100_trailing_e1; do
   cp_if "outputs/flagship/ab_r4_${ARM}/vectorization_stats.json" \
         "$DEST/ab_${ARM}_stats.json"
 done

@@ -26,6 +26,29 @@ def load(path):
         return None
 
 
+def ab_table(glob_pat="outputs/flagship/ab_r4_*/vectorization_stats.json"):
+    """Markdown table of the sampler A/B arms (rejection rate + throughput)."""
+    import glob
+    import os
+
+    rows = []
+    for p in sorted(glob.glob(glob_pat)):
+        st = load(p)
+        if not st:
+            continue
+        n = max(st.get("n_images", 0), 1)
+        rej = (st.get("n_rejected", 0) + st.get("n_failed", 0)) / n
+        arm = os.path.basename(os.path.dirname(p)).replace("ab_r4_", "")
+        rows.append((arm, st.get("sampler"), n, rej, st.get("scenes_per_s")))
+    if not rows:
+        return
+    print("| arm | sampler | n | rejection | scenes/s (fused) |")
+    print("|---|---|---|---|---|")
+    for arm, s, n, rej, tput in rows:
+        print(f"| {arm} | {s} | {n} | {rej:.1%} | {tput if tput is not None else '—'} |")
+    print()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="outputs/flagship/metrics_model_r4.json")
@@ -37,6 +60,8 @@ def main():
 
     model, ceil, floor = load(args.model), load(args.ceiling), load(args.floor)
     stats = load(args.stats)
+
+    ab_table()
 
     if stats:
         n = max(stats.get("n_images", 0), 1)
