@@ -78,3 +78,28 @@ def test_sharded_dpm_sampling_matches_single_device(eight_devices):
     # sharded-vs-unsharded compilation's fusion/reassociation noise across
     # steps; observed max diff ~3e-5 on the CPU mesh.
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=1e-4)
+
+
+def test_sharded_sde_sampling_matches_single_device(eight_devices):
+    """SDE-DPM-Solver++(2M) adds a per-step noise draw to the scan body;
+    with partitionable threefry the sharded draw equals the single-device
+    one, so batch-sharded sampling must stay numerically identical."""
+    from drivescenegen_tpu.diffusion import dpmpp_2m_sde_sample
+
+    denoise, schedule = _setup()
+    shape = (8, 16, 16, 3)
+    key = jax.random.key(7)
+
+    plain = jax.jit(
+        lambda k: dpmpp_2m_sde_sample(denoise, schedule, shape, k, 5)
+    )(key)
+
+    mesh = make_mesh(MeshConfig())
+    sharded_fn = jax.jit(
+        lambda k: dpmpp_2m_sde_sample(denoise, schedule, shape, k, 5),
+        out_shardings=batch_sharding(mesh, 4),
+    )
+    sharded = sharded_fn(key)
+
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
