@@ -13,7 +13,8 @@ cp_if() { [ -e "$1" ] && cp "$1" "$2" && echo "  + $2"; }
 
 echo "collecting round-4 artifacts:"
 for ARM in ddim50_leading_e0 ddim50_trailing_e0 dpm20_trailing_e0 \
-           dpm25_trailing_e0 sde25_trailing_e0 ddim100_trailing_e1; do
+           dpm25_trailing_e0 sde25_trailing_e0 sde35_trailing_e0 \
+           ddim50_trailing_e1 ddim100_trailing_e1; do
   cp_if "outputs/flagship/ab_r4_${ARM}/vectorization_stats.json" \
         "$DEST/ab_${ARM}_stats.json"
 done

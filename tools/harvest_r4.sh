@@ -16,7 +16,8 @@ CFG=${1:-drivescenegen_tpu/configs/flagship_256_r4.yaml}
 #    slow reference DDIM-100 eta=1. 64 scenes each; lowest noise-rejection
 #    rate wins the 5k run (ties prefer fewer steps). VERDICT r3 #4.
 for ARM in "ddim 50 leading 0" "ddim 50 trailing 0" "dpm 20 trailing 0" \
-           "dpm 25 trailing 0" "sde 25 trailing 0" "ddim 100 trailing 1"; do
+           "dpm 25 trailing 0" "sde 25 trailing 0" "sde 35 trailing 0" \
+           "ddim 50 trailing 1" "ddim 100 trailing 1"; do
   set -- $ARM
   TAG=$1$2_$3_e$4
   [ -f outputs/flagship/ab_r4_${TAG}/vectorization_stats.json ] && continue
@@ -30,7 +31,8 @@ WINNER=$(python - <<'EOF'
 import json
 arms = [("ddim", 50, "leading", 0), ("ddim", 50, "trailing", 0),
         ("dpm", 20, "trailing", 0), ("dpm", 25, "trailing", 0),
-        ("sde", 25, "trailing", 0), ("ddim", 100, "trailing", 1)]
+        ("sde", 25, "trailing", 0), ("sde", 35, "trailing", 0),
+        ("ddim", 50, "trailing", 1), ("ddim", 100, "trailing", 1)]
 best, best_key = ("ddim", 100, "trailing", 1), (1e9, 1e9)
 for s, n, sp, eta in arms:
     try:
