@@ -186,6 +186,8 @@ def _quality_record():
             rec.update({
                 "run": run,
                 "sampler": st.get("sampler"),
+                "eta": st.get("eta"),
+                "spacing": st.get("spacing"),
                 "n_images": st.get("n_images"),
                 "rejection_rate": round(
                     (st.get("n_rejected", 0) + st.get("n_failed", 0)) / n, 3

@@ -328,6 +328,12 @@ def main(argv=None):
         "wall_time_s": round(total_wall, 1),
         "scenes_per_s": round(n_enqueued / total_wall, 2),
         "sampler": f"{args.sampler}-{steps}",
+        # Full sampler setting, so quality records distinguish e.g.
+        # ddim-100 eta=1 (ancestral-class) from ddim-100 eta=0.
+        "eta": args.eta if args.eta is not None else cfg.generation.ddim_eta,
+        "spacing": args.spacing or ("trailing" if args.sampler in ("dpm", "sde")
+                                    else "leading"),
+        "seed": args.seed,
         "batch_size": batch,
         "n_workers": args.n_workers,
     }

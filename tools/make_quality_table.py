@@ -39,7 +39,10 @@ def ab_table(glob_pat="outputs/flagship/ab_r4_*/vectorization_stats.json"):
         n = max(st.get("n_images", 0), 1)
         rej = (st.get("n_rejected", 0) + st.get("n_failed", 0)) / n
         arm = os.path.basename(os.path.dirname(p)).replace("ab_r4_", "")
-        rows.append((arm, st.get("sampler"), n, rej, st.get("scenes_per_s")))
+        label = st.get("sampler")
+        if st.get("eta") is not None:
+            label = f"{label} eta={st['eta']:g} {st.get('spacing', '')}"
+        rows.append((arm, label, n, rej, st.get("scenes_per_s")))
     if not rows:
         return
     print("| arm | sampler | n | rejection | scenes/s (fused) |")
