@@ -30,18 +30,25 @@ until stitch_done; do
     sleep 60; WAITED=$((WAITED + 60))
 done
 
-# The gt split = first 2000 sorted held-out pickles; rasterization named
-# file i as "{i%4}_{i//4}.png" (round-robin over 4 workers), so the gt
-# scenes' rasters are exactly those with second index < 500.
+# The gt split = first 2000 sorted held-out pickles; rasterization with W
+# round-robin workers named global scene k as "{k%W}_{k//W}.png". Detect W
+# from the prefixes actually on disk (the r4b rebuild used 2 workers where
+# an earlier pass used 4 — assuming 4 left 1000 dangling links and halved
+# the ceiling sample).
+if [ "$(find "$RT_IN" -xtype l 2>/dev/null | wc -l)" -gt 0 ]; then
+    hb "removing dangling roundtrip links from a wrong worker-count guess"
+    find "$RT_IN" -xtype l -delete
+fi
 if [ "$(ls "$RT_IN" 2>/dev/null | wc -l)" -lt 2000 ]; then
     hb "building roundtrip input links"
     mkdir -p "$RT_IN"
-    for p in 0 1 2 3; do
-        j=0
-        while [ "$j" -lt 500 ]; do
-            ln -sf "../../../$HELD/${p}_${j}.png" "$RT_IN/${p}_${j}.png"
-            j=$((j + 1))
-        done
+    W=$(ls "$HELD" | sed 's/_.*//' | sort -u | wc -l)
+    hb "detected $W rasterization workers"
+    k=0
+    while [ "$k" -lt 2000 ]; do
+        p=$((k % W)); j=$((k / W))
+        ln -sf "../../../$HELD/${p}_${j}.png" "$RT_IN/${p}_${j}.png"
+        k=$((k + 1))
     done
 fi
 
