@@ -522,7 +522,10 @@ def connect_intersections(graph: nx.Graph, directed_graph: nx.DiGraph,
                 continue  # turn angle too large
             elif np.deg2rad(-5) <= angle <= np.deg2rad(95):  # long turn
                 ratio = np.fabs(pos_angle / angle) if angle != 0 else np.inf
-                if ratio != np.inf and 1 / ratio < 2 and ratio < 2:
+                # ratio == 0 (pos_angle exactly 0) fails the 1/ratio < 2
+                # test; short-circuit it to avoid the divide-by-zero
+                # RuntimeWarning numpy emits on model outputs.
+                if ratio != np.inf and ratio != 0 and 1 / ratio < 2 and ratio < 2:
                     if curve_is_valid(curve, waypoints, dist_tol=3.0, min_rate=0.5):
                         edges.append((n1, n2, {"path": curve, "d": curve[-1][-1]}))
 
