@@ -175,6 +175,13 @@ class VectorizeConfig:
     noise_mask_frac: float = 0.25   # reject if lane mask covers > this
     max_graph_nodes: int = 1500     # reject skeleton mazes beyond this
     despeckle_px: int = 15          # cull skeleton components smaller px
+    # Final-graph plausibility gate, calibrated from GT-side data ONLY:
+    # vectorizing 2000 GT rasters (the roundtrip-ceiling corpus) never
+    # yields a scene graph above 16 nodes, so a generated "scene" far past
+    # that is fragmented sampler junk that slipped through the mask gate,
+    # not a plausible dense layout. Default = 2x the roundtrip max. Tuning
+    # table: tools/gate_tradeoff.py (docs/results_r4/gate_tradeoff.md).
+    max_scene_nodes: int = 32       # reject final graphs beyond this
 
 
 @dataclass

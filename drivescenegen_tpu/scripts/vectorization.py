@@ -52,6 +52,7 @@ def vectorize(img01, method: str = "GRAPH_FIT", map_range: float = 80.0,
             noise_mask_frac=vcfg.noise_mask_frac,
             max_graph_nodes=vcfg.max_graph_nodes,
             despeckle_px=vcfg.despeckle_px,
+            max_scene_nodes=vcfg.max_scene_nodes,
         )
     try:
         if method == "GRAPH_FIT":

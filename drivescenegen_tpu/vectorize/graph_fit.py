@@ -560,6 +560,7 @@ def extract_polylines_from_img(
     noise_mask_frac: float = 0.25,
     max_graph_nodes: int = 1500,
     despeckle_px: int = 15,
+    max_scene_nodes: int = 32,
 ):
     """Full GRAPH_FIT pipeline (image_to_polylines.py:605-769).
 
@@ -610,6 +611,20 @@ def extract_polylines_from_img(
     directed_graph = connect_intersections(
         graph, directed_graph, simplified_graph=simplified_graph
     )
+
+    # Final-graph plausibility gate, calibrated from GT-side data only
+    # (VectorizeConfig.max_scene_nodes): the roundtrip vectorization of
+    # 2000 GT rasters tops out at 16 scene nodes, so a graph far beyond
+    # that is fragmented sampler junk that passed the mask-density gate
+    # (its per-node pieces are thin, so mask fraction stays low). Without
+    # this, a ~5% junk tail dominates the fitted node-count Gaussian and
+    # the Density/Reach Frechet stats (measured: tools/gate_tradeoff.py).
+    if directed_graph.number_of_nodes() > max_scene_nodes:
+        logger.warning(
+            f"implausible scene graph ({directed_graph.number_of_nodes()} "
+            f"nodes > {max_scene_nodes}) — rejecting as fragmented noise"
+        )
+        return None, None
 
     polylines = graph_utils.graph_to_polylines(directed_graph)
     polylines_world = graph_utils.polylines_to_world_frame(

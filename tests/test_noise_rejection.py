@@ -86,3 +86,23 @@ def test_despeckle_px_configurable():
     nuked = VectorizeConfig(despeckle_px=10_000)
     lanes, graph, _, _ = vectorize(img, vcfg=nuked)
     assert lanes is None  # nothing survives skeleton culling
+
+
+def test_max_scene_nodes_gate():
+    """The final-graph plausibility gate (max_scene_nodes, calibrated at 2x
+    the roundtrip-on-GT max of 16 nodes) flows from VectorizeConfig: a
+    1-node ceiling rejects even a clean single-lane scene, while the
+    default accepts it — junk graphs fragment into dozens-to-hundreds of
+    nodes and are rejected without special-casing."""
+    from drivescenegen_tpu.config import VectorizeConfig
+    from drivescenegen_tpu.scripts.vectorization import vectorize
+
+    img = np.full((256, 256, 3), 0.5, np.float32)
+    img[100, 30:220, 0] = 0.95
+
+    ok_lanes, ok_graph, _, _ = vectorize(img, vcfg=VectorizeConfig())
+    assert ok_graph is not None and ok_graph.number_of_nodes() <= 32
+
+    strict = VectorizeConfig(max_scene_nodes=1)
+    lanes, graph, _, _ = vectorize(img, vcfg=strict)
+    assert lanes is None and graph is None
