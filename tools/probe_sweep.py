@@ -44,8 +44,16 @@ def bench_one(tag, model_cfg, batch, precast_bf16=False, n_iters=3, trace_dir=No
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = run(jax.random.fold_in(jax.random.key(1), i))
-    out.block_until_ready()
+        # Block EVERY iteration: waiting only on the last array once
+        # produced a 2.6 ms/batch reading for the unroll=5 arm (r4 sweep)
+        # — a physically impossible number (500x the roofline) from the
+        # remote backend acking queued dispatches. Per-iter blocking costs
+        # ~nothing at 1.3 s/batch and makes the timing unfoolable.
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
+    if dt * 1000 < 50:  # sanity: 256^2 x 50-step UNet can't run this fast
+        print(f"{tag}: IMPLAUSIBLE timing {dt*1000:.1f} ms/batch — "
+              "discard this arm and re-measure", flush=True)
     tput = batch / dt
     mfu = tput * 50 * unet2d_forward_flops(model_cfg) / PEAK
     print(
