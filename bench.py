@@ -204,25 +204,37 @@ def _quality_record():
     # The harvest's quality fallback (stochastic DDIM-100 eta=1, run when
     # the deterministic winner rejects >15% as speckle) is the usable
     # quality read in that case — report it alongside, not instead.
-    qp = "outputs/flagship/e2e5k_r4q/vectorization_stats.json"
-    if os.path.exists(qp):
+    for key, run in (("fallback", "e2e5k_r4q"), ("fast_arm", "e2e5k_r4sde"),
+                     ("calibrated", "e2e5k_r4cal")):
+        # fallback: stochastic DDIM-100 eta=1, run when the deterministic
+        # winner rejects >15% as speckle — the usable quality read in that
+        # case. fast_arm: SDE-DPM++(2M)-25 at scale — the at-scale quality
+        # record for the fast sampler the detail throughput rows advertise.
+        # calibrated: the SAME 5k samples re-vectorized with the GT-side
+        # calibrated max_scene_nodes gate (docs/results_r4/gate_tradeoff.md)
+        # — higher rejection, junk-free FD table.
+        qp = f"outputs/flagship/{run}/vectorization_stats.json"
+        if not os.path.exists(qp):
+            continue
         with open(qp) as f:
             st = json.load(f)
         n = max(st.get("n_images", 0), 1)
         fb = {
-            "sampler": st.get("sampler"),
+            # The calibrated re-vectorization reuses the primary run's
+            # samples, so its stats file carries no sampler tag — inherit.
+            "sampler": st.get("sampler") or rec.get("sampler"),
             "n_images": st.get("n_images"),
             "rejection_rate": round(
                 (st.get("n_rejected", 0) + st.get("n_failed", 0)) / n, 3
             ),
         }
-        mp = "outputs/flagship/metrics_model_r4q.json"
+        mp = f"outputs/flagship/metrics_model_{run[6:]}.json"
         if os.path.exists(mp):
             with open(mp) as f:
                 m = json.load(f)
             fb["frechet"] = {k: round(v, 3)
                              for k, v in m.get("frechet", {}).items()}
-        rec["fallback"] = fb
+        rec[key] = fb
     return rec or None
 
 
