@@ -18,9 +18,12 @@ Usage: python outputs/orientation_probe.py <gt_graph_dir> <model_graph_dir>
 """
 
 import glob
+import os
 import pickle
 import random
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import networkx as nx
 import numpy as np
