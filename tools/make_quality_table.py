@@ -52,35 +52,7 @@ def ab_table(glob_pat="outputs/flagship/ab_r4_*/vectorization_stats.json"):
     print()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="outputs/flagship/metrics_model_r4.json")
-    ap.add_argument("--ceiling", default="docs/results_r4/metrics_roundtrip_r4.json")
-    ap.add_argument("--floor", default="docs/results_r4/metrics_noise_floor_r4.json")
-    ap.add_argument("--stats",
-                    default="outputs/flagship/e2e5k_r4/vectorization_stats.json")
-    args = ap.parse_args()
-
-    model, ceil, floor = load(args.model), load(args.ceiling), load(args.floor)
-    stats = load(args.stats)
-
-    ab_table()
-
-    if stats:
-        n = max(stats.get("n_images", 0), 1)
-        rej = (stats.get("n_rejected", 0) + stats.get("n_failed", 0)) / n
-        print(f"Run: {stats.get('sampler')} | {stats.get('n_images')} scenes | "
-              f"ok {stats.get('n_ok')} / rejected {stats.get('n_rejected')} / "
-              f"failed {stats.get('n_failed')} (rejection {rej:.1%}) | "
-              f"wall {stats.get('wall_time_s', 0):.0f}s"
-              + (f" (sampling {stats['sampling_wall_s']:.0f}s)"
-                 if stats.get("sampling_wall_s") else ""))
-        print()
-
-    if not model:
-        print(f"(no model metrics at {args.model})")
-        return
-
+def fd_table(model, ceil, floor):
     def fmt(x):
         if x is None:
             return "—"
@@ -100,7 +72,48 @@ def main():
         ratio = f"{m / c:.2f}x" if m is not None and c else "—"
         print(f"| {k.replace('mmd_', 'MMD ')} | {fmt(m)} | {fmt(c)} | {fmt(f)} | {ratio} |")
     print(f"\nn_gen_graphs={model.get('n_gen_graphs')} "
-          f"n_gt_graphs={model.get('n_gt_graphs')}")
+          f"n_gt_graphs={model.get('n_gt_graphs')}\n")
+
+
+def run_header(stats, label):
+    n = max(stats.get("n_images", 0), 1)
+    rej = (stats.get("n_rejected", 0) + stats.get("n_failed", 0)) / n
+    print(f"### {label}: {stats.get('sampler') or '(same samples)'} | "
+          f"{stats.get('n_images')} scenes | "
+          f"ok {stats.get('n_ok')} / rejected {stats.get('n_rejected')} / "
+          f"failed {stats.get('n_failed')} (rejection {rej:.1%}) | "
+          f"wall {stats.get('wall_time_s', 0):.0f}s"
+          + (f" (sampling {stats['sampling_wall_s']:.0f}s)"
+             if stats.get("sampling_wall_s") else ""))
+    print()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ceiling", default="docs/results_r4/metrics_roundtrip_r4.json")
+    ap.add_argument("--floor", default="docs/results_r4/metrics_noise_floor_r4.json")
+    args = ap.parse_args()
+
+    ceil, floor = load(args.ceiling), load(args.floor)
+
+    ab_table()
+
+    # One block per 5k-scale record: the as-run winner, the calibrated-gate
+    # re-vectorization of the same samples, and the fast-arm (SDE-25) run.
+    for run, label in (("e2e5k_r4", "as-run winner"),
+                       ("e2e5k_r4cal", "calibrated gate (same samples)"),
+                       ("e2e5k_r4sde", "fast arm SDE-25"),
+                       ("e2e5k_r4q", "quality fallback")):
+        stats = load(f"outputs/flagship/{run}/vectorization_stats.json")
+        model = load(f"outputs/flagship/metrics_model_{run[6:]}.json")
+        if not stats and not model:
+            continue
+        if stats:
+            run_header(stats, label)
+        if model:
+            fd_table(model, ceil, floor)
+        else:
+            print("(metrics pending)\n")
 
 
 if __name__ == "__main__":
