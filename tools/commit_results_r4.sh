@@ -23,6 +23,13 @@ cp_if outputs/flagship/e2e5k_r4q/vectorization_stats.json "$DEST/e2e5k_r4q_stats
 cp_if outputs/flagship/e2e5k_r4_budget.json "$DEST/e2e5k_r4_budget.json"
 cp_if outputs/flagship/metrics_model_r4.json "$DEST/metrics_model_r4.json"
 cp_if outputs/flagship/metrics_model_r4q.json "$DEST/metrics_model_r4q.json"
+cp_if outputs/flagship/e2e5k_r4cal/vectorization_stats.json "$DEST/e2e5k_r4cal_stats.json"
+cp_if outputs/flagship/metrics_model_r4cal.json "$DEST/metrics_model_r4cal.json"
+cp_if outputs/flagship/e2e5k_r4sde/vectorization_stats.json "$DEST/e2e5k_r4sde_stats.json"
+cp_if outputs/flagship/metrics_model_r4sde.json "$DEST/metrics_model_r4sde.json"
+cp_if outputs/flagship/metrics_roundtrip_r4.json "$DEST/metrics_roundtrip_r4.json"
+cp_if outputs/flagship/metrics_noise_floor_r4.json "$DEST/metrics_noise_floor_r4.json"
+cp_if outputs/cond128n/cfg_eval.json "$DEST/cfg_eval_128native.json"
 cp_if outputs/flagship/orientation_r4.txt "$DEST/orientation_r4.txt"
 cp_if outputs/flagship/orientation_r4q.txt "$DEST/orientation_r4q.txt"
 cp_if outputs/probe_sweep_r4.log "$DEST/probe_sweep_r4.log"
