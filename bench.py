@@ -235,6 +235,20 @@ def _quality_record():
             fb["frechet"] = {k: round(v, 3)
                              for k, v in m.get("frechet", {}).items()}
         rec[key] = fb
+    # Config-5 conditional-model record (eval_cond_agents guidance sweep on
+    # NATIVELY rasterized 128px held-out scenes — the 256->128 downscaled
+    # recipe is unmeasurable: its extractor-destroying resize scores even a
+    # perfect generator 0/89, see configs/config5_cond_128n.yaml). Falls
+    # back to the committed docs copy so a host wipe can't erase the record
+    # from the round-end bench.
+    for cp in ("outputs/cond128n/cfg_eval.json",
+               "docs/results_r4/cfg_eval_128native.json"):
+        if os.path.exists(cp):
+            with open(cp) as f:
+                ce = json.load(f)
+            if ce.get("n_gt_agents", 0) > 0:
+                rec["cond128_guidance_sweep"] = ce
+            break
     return rec or None
 
 

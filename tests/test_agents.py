@@ -187,3 +187,35 @@ def test_match_agents_greedy_by_center():
     assert n2 == 1
     assert match_agents([], pred) == (0, 0.0)
     assert match_agents(gt, []) == (0, 0.0)
+
+
+def test_native_128px_raster_agents_extractable():
+    """Config-5 protocol invariant: agents in NATIVELY rasterized 128px
+    scenes survive the extractor's gates (blue>100 threshold, >=4.0x1.75 m
+    physical size). A 256->128 bilinear downscale does NOT — a 1.9 m-wide
+    car is 1.5 blurred px, and even a perfect generator roundtrip scores 0
+    (measured r4: 0/89 over 32 held-out scenes) — which is why
+    configs/config5_cond_128n.yaml rasterizes at native 128 instead of
+    resizing the 256px corpus (eval_cond_agents relies on the same)."""
+    from drivescenegen_tpu.data.preprocess import decode_scenario
+    from drivescenegen_tpu.data.synthetic import make_synthetic_scenario
+    from drivescenegen_tpu.ops.raster import rasterize_scenario
+    from drivescenegen_tpu.scripts.eval_cond_agents import match_agents
+
+    n128 = n256 = matched = 0
+    for seed in range(6):
+        info = decode_scenario(make_synthetic_scenario(seed=seed))
+        i128 = np.clip(np.asarray(rasterize_scenario(info, img_res=128)), 0, 1)
+        i256 = np.clip(np.asarray(rasterize_scenario(info, img_res=256)), 0, 1)
+        a128 = extract_agents(i128.astype(np.float32), None)
+        a256 = extract_agents(i256.astype(np.float32), None)
+        n128 += len(a128)
+        n256 += len(a256)
+        m, _ = match_agents(a256, a128)
+        matched += m
+    assert n256 >= 6  # the synthetic scenes do contain visible agents
+    # Native-128 extraction keeps >=70% of the native-256 agent set and the
+    # survivors match by center within 3 m (r4 measured: 19 vs 18 over 8
+    # held-out flagship scenes, 17 cross-matched).
+    assert n128 >= 0.7 * n256
+    assert matched >= 0.7 * min(n128, n256)
