@@ -23,7 +23,8 @@ from drivescenegen_tpu.config import load_config
 from drivescenegen_tpu.utils.io import split_round_robin
 
 
-def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None, sidecar=None):
+def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None, sidecar=None,
+            augment=""):
     # Keep worker processes off the TPU: the splat kernels are tiny and the
     # per-process TPU runtime would serialize on the single chip.
     import jax
@@ -41,36 +42,51 @@ def _worker(files, cfg_raster, out_dir, proc_id, vec_dir=None, sidecar=None):
     if sidecar is not None:
         sidecar_tmp, rows = sidecar
 
+    def _render(scenario_info):
+        img = rasterize_scenario(
+            scenario_info,
+            img_res=cfg_raster.img_res,
+            map_range=cfg_raster.map_range,
+            max_polylines=cfg_raster.max_polylines,
+            max_agents=cfg_raster.max_agents,
+            with_agent=cfg_raster.with_agent,
+            background=cfg_raster.background,
+            color_max=cfg_raster.color_max,
+            agent_time_index=cfg_raster.agent_time_index,
+            interp_k=cfg_raster.interp_k,
+            num_points_each_polyline=cfg_raster.num_points_each_polyline,
+            mode=cfg_raster.mode,
+        )
+        return np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+
     for i, path in enumerate(files):
         try:
             with open(path, "rb") as f:
                 scenario_info = pickle.load(f)
             if not isinstance(scenario_info, dict):
                 continue
-            img = rasterize_scenario(
-                scenario_info,
-                img_res=cfg_raster.img_res,
-                map_range=cfg_raster.map_range,
-                max_polylines=cfg_raster.max_polylines,
-                max_agents=cfg_raster.max_agents,
-                with_agent=cfg_raster.with_agent,
-                background=cfg_raster.background,
-                color_max=cfg_raster.color_max,
-                agent_time_index=cfg_raster.agent_time_index,
-                interp_k=cfg_raster.interp_k,
-                num_points_each_polyline=cfg_raster.num_points_each_polyline,
-                mode=cfg_raster.mode,
-            )
-            arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
-            if sidecar is not None and arr.ndim == 3 and arr.shape[-1] == 3:
-                if smm is None:
-                    smm = np.load(sidecar_tmp, mmap_mode="r+")
-                # Byte-identical to the PNG decode the sidecar replaces
-                # (lossless 8-bit RGB roundtrip; verified post-pass).
-                smm[rows[i]] = arr
-            if arr.shape[-1] == 1:
-                arr = arr[..., 0]  # occupancy mode saves grayscale
-            Image.fromarray(arr).save(os.path.join(out_dir, f"{proc_id}_{i}.png"))
+            variants = [("", scenario_info)]
+            if augment == "rot180":
+                # Direction-balancing augmentation (data/augment.py): the
+                # 180°-rotated scene presents every lane's opposite travel
+                # direction — the data-side attack on the OrientationR
+                # dropped-two-way-direction gap (STATUS r4).
+                from drivescenegen_tpu.data.augment import rotate_scenario_180
+
+                variants.append(("_rot", rotate_scenario_180(scenario_info)))
+            for sfx, info in variants:
+                arr = _render(info)
+                if sidecar is not None and arr.ndim == 3 and arr.shape[-1] == 3:
+                    if smm is None:
+                        smm = np.load(sidecar_tmp, mmap_mode="r+")
+                    # Byte-identical to the PNG decode the sidecar replaces
+                    # (lossless 8-bit RGB roundtrip; verified post-pass).
+                    smm[rows[sfx][i]] = arr
+                if arr.shape[-1] == 1:
+                    arr = arr[..., 0]  # occupancy mode saves grayscale
+                Image.fromarray(arr).save(
+                    os.path.join(out_dir, f"{proc_id}_{i}{sfx}.png")
+                )
             if vec_dir is not None:
                 # Reference save_png_polys branch (rasterization.py:129-151):
                 # padded (rows, cols, 8) vector tensor beside the raster.
@@ -106,6 +122,11 @@ def main():
                              "(data/dataset.py sidecar_path) at rasterization "
                              "time, so training never pays the 1-core PNG "
                              "re-decode (RGB modes only)")
+    parser.add_argument("--augment", default="", choices=["", "rot180"],
+                        help="rot180: additionally rasterize each scenario "
+                             "rotated 180 degrees (doubles the corpus; "
+                             "direction-balancing for two-way lanes, see "
+                             "data/augment.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg_file)
@@ -130,37 +151,44 @@ def main():
         else split_round_robin(all_files, n_workers)
     )
 
-    # Sidecar setup: output names are deterministic ("{pid}_{i}.png"), so the
-    # final sorted-corpus row of every image is known BEFORE rasterizing and
-    # workers can write straight into one shared memmap — no assemble pass.
+    # Sidecar setup: output names are deterministic ("{pid}_{i}{sfx}.png"), so
+    # the final sorted-corpus row of every image is known BEFORE rasterizing
+    # and workers can write straight into one shared memmap — no assemble
+    # pass. With --augment each scenario contributes one row per variant.
+    suffixes = [""] + (["_rot"] if args.augment == "rot180" else [])
     sidecar_tmp = cache_path = expected = None
     row_lists = [None] * len(shards)
     if args.save_sidecar:
         from drivescenegen_tpu.data.dataset import sidecar_path
 
         named = [
-            (os.path.join(out_dir, f"{pid}_{i}.png"), pid, i)
+            (os.path.join(out_dir, f"{pid}_{i}{sfx}.png"), pid, i, sfx)
             for pid, shard in enumerate(shards)
             for i in range(len(shard))
+            for sfx in suffixes
         ]
         named.sort(key=lambda t: t[0])
         expected = [t[0] for t in named]
-        row_of = {(pid, i): row for row, (_, pid, i) in enumerate(named)}
+        row_of = {(pid, i, sfx): row
+                  for row, (_, pid, i, sfx) in enumerate(named)}
         row_lists = [
-            [row_of[(pid, i)] for i in range(len(shard))]
+            {sfx: [row_of[(pid, i, sfx)] for i in range(len(shard))]
+             for sfx in suffixes}
             for pid, shard in enumerate(shards)
         ]
         cache_path = sidecar_path(expected, raster.img_res, 3, np.uint8)
         sidecar_tmp = cache_path + ".tmp"
         m = np.lib.format.open_memmap(
             sidecar_tmp, mode="w+", dtype=np.uint8,
-            shape=(len(all_files), raster.img_res, raster.img_res, 3),
+            shape=(len(all_files) * len(suffixes),
+                   raster.img_res, raster.img_res, 3),
         )
         del m  # workers reopen r+ and fill disjoint rows
 
     if n_workers == 1:
         _worker(all_files, raster, out_dir, 0, vec_dir,
-                (sidecar_tmp, row_lists[0]) if sidecar_tmp else None)
+                (sidecar_tmp, row_lists[0]) if sidecar_tmp else None,
+                args.augment)
     else:
         # spawn (not fork): the parent may hold live JAX/XLA threads (in
         # production the raster config build can initialize JAX; in tests the
@@ -173,7 +201,8 @@ def main():
             p = ctx.Process(
                 target=_worker,
                 args=(shard, raster, out_dir, pid, vec_dir,
-                      (sidecar_tmp, row_lists[pid]) if sidecar_tmp else None),
+                      (sidecar_tmp, row_lists[pid]) if sidecar_tmp else None,
+                      args.augment),
             )
             p.start()
             procs.append(p)
