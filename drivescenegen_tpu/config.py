@@ -81,6 +81,14 @@ class ModelConfig:
     # float reassociation. Off by default pending a real-chip A/B
     # (docs/PERF_ANALYSIS.md "candidate levers").
     split_skip_conv: bool = False
+    # Torch-parity padding for the stride-2 downsample convs: diffusers
+    # Downsample2D (reference UNet2DModel, scripts/train.py:39-57) pads
+    # (1,1) per side (torch padding=1) where XLA "SAME" at stride 2 pads
+    # (0,1). Set true by the diffusers checkpoint importer
+    # (models/import_diffusers.py) so imported reference weights reproduce
+    # reference outputs bit-for-bit in structure; native checkpoints keep
+    # SAME (flipping it would invalidate models trained under SAME).
+    torch_pad_downsample: bool = False
 
 
 @dataclass

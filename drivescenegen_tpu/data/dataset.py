@@ -201,6 +201,30 @@ def decoded_corpus(dataset: RasterDataset, chunk: int = 1024) -> np.ndarray:
                 return m
         except Exception:
             pass
+    # Digest miss: adopt a shape/dtype-matched sidecar left under an older
+    # key (e.g. built before sidecar_path normalized file paths — ADVICE
+    # r4: a key-expression change must not silently orphan a multi-GB cache
+    # and re-pay the ~30-min 1-core decode). Renamed once to the current
+    # key; shape+dtype is the integrity check (same N files, res, channels).
+    cache_dir = os.path.dirname(cache_path)
+    for f in sorted(os.listdir(cache_dir) if os.path.isdir(cache_dir) else []):
+        if not f.startswith(".devcache_") or not f.endswith(".npy"):
+            continue
+        old_path = os.path.join(cache_dir, f)
+        if old_path == cache_path:
+            continue
+        try:
+            m = np.load(old_path, mmap_mode="r")
+            if m.shape == (n, *sample0.shape) and m.dtype == sample0.dtype:
+                del m
+                os.replace(old_path, cache_path)
+                print(
+                    f"decoded_corpus: adopted old-key sidecar {old_path} "
+                    f"-> {cache_path}", flush=True,
+                )
+                return np.load(cache_path, mmap_mode="r")
+        except Exception:
+            continue
     full = np.empty((n, *sample0.shape), dtype=sample0.dtype)
     full[0] = sample0
     for i in range(1, n, chunk):

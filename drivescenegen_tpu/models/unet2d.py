@@ -260,14 +260,22 @@ class AttentionBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 3x3 conv (diffusers Downsample2D with use_conv=True)."""
+    """Stride-2 3x3 conv (diffusers Downsample2D with use_conv=True).
+
+    torch_pad selects diffusers' exact padding ((1,1) per side, torch
+    padding=1) instead of XLA SAME (which pads (0,1) at stride 2 on even
+    inputs) — required for numerical parity with imported reference
+    checkpoints (models/import_diffusers.py); params are identical."""
 
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(x)
+        padding = ((1, 1), (1, 1)) if self.torch_pad else "SAME"
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=padding,
+                       dtype=self.dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -333,7 +341,8 @@ class UNet2D(nn.Module):
                 )
                 skips.append(h)
             if i != n_blocks - 1:
-                h = Downsample(ch, dtype=dtype, name=f"down_{i}_downsample")(h)
+                h = Downsample(ch, dtype=dtype, torch_pad=cfg.torch_pad_downsample,
+                               name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         # Mid block: ResNet -> attention -> ResNet.

@@ -158,6 +158,14 @@ def main():
     suffixes = [""] + (["_rot"] if args.augment == "rot180" else [])
     sidecar_tmp = cache_path = expected = None
     row_lists = [None] * len(shards)
+    if args.save_sidecar and raster.mode == "occupancy":
+        # The sidecar is a 3-channel decoded-corpus cache; 1-channel modes
+        # would allocate (and zero-fill) a multi-GB RGB memmap the workers
+        # never write and finalize discards (ADVICE r4). Fail fast instead.
+        raise SystemExit(
+            "--save_sidecar requires an RGB raster mode; "
+            f"raster.mode={raster.mode!r} renders 1 channel"
+        )
     if args.save_sidecar:
         from drivescenegen_tpu.data.dataset import sidecar_path
 

@@ -327,15 +327,31 @@ def main(argv=None):
         "sampling_wall_s": round(sampling_wall, 1),
         "wall_time_s": round(total_wall, 1),
         "scenes_per_s": round(n_enqueued / total_wall, 2),
+        # The honest end-to-end figure: ACCEPTED scenes per second. Rejected
+        # scenes are sampled-then-discarded chip time (the reference has no
+        # rejection concept), so throughput claims must not count them.
+        "ok_scenes_per_s": round(counts["n_ok"] / total_wall, 2),
         "sampler": f"{args.sampler}-{steps}",
         # Full sampler setting, so quality records distinguish e.g.
-        # ddim-100 eta=1 (ancestral-class) from ddim-100 eta=0.
-        "eta": args.eta if args.eta is not None else cfg.generation.ddim_eta,
+        # ddim-100 eta=1 (ancestral-class) from ddim-100 eta=0. eta only
+        # affects the DDIM path; null otherwise so A/B tables don't treat a
+        # dead config knob as a meaningful axis (ADVICE r4).
+        "eta": ((args.eta if args.eta is not None else cfg.generation.ddim_eta)
+                if args.sampler == "ddim" else None),
         "spacing": args.spacing or ("trailing" if args.sampler in ("dpm", "sde")
                                     else "leading"),
         "seed": args.seed,
         "batch_size": batch,
         "n_workers": args.n_workers,
+        # Rejection-gate settings, so every record is self-describing
+        # (ADVICE r4: the calibrated max_scene_nodes gate changes metric
+        # comparability and must travel with the stats).
+        "gates": {
+            "noise_mask_frac": cfg.vectorize.noise_mask_frac,
+            "max_graph_nodes": cfg.vectorize.max_graph_nodes,
+            "max_scene_nodes": cfg.vectorize.max_scene_nodes,
+            "despeckle_px": cfg.vectorize.despeckle_px,
+        },
     }
     # Same filename/keys as vectorization.py so compute_map_metrics picks up
     # the survivorship accounting unchanged.

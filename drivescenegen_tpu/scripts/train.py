@@ -180,6 +180,12 @@ def main(argv=None):
     parser.add_argument("--dataset_glob", default=None, type=str)
     parser.add_argument("--output_dir", default=None, type=str)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--init_from", default=None, type=str,
+                        help="warm-start fine-tuning: load params (+EMA) from "
+                             "another run's output_dir (or its checkpoints/ "
+                             "dir) at step 0 with a fresh optimizer and LR "
+                             "schedule; a later --resume of THIS run takes "
+                             "precedence once this run has checkpoints")
     parser.add_argument("--max_steps", default=0, type=int,
                         help="cap total optimizer steps (0 = epochs * steps/epoch)")
     parser.add_argument("--profile_steps", default=0, type=int,
@@ -279,6 +285,26 @@ def main(argv=None):
     if args.resume and latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
         logger.info(f"resumed from step {int(state.step)}")
+    elif args.init_from:
+        # Warm-start fine-tuning (e.g. adapting a converged flagship to an
+        # augmented corpus): donor params and EMA carry over; optimizer
+        # state, LR schedule, and the step counter start fresh so max_steps
+        # defines a complete new cosine. restore_checkpoint's pre-EMA
+        # fallback seeds EMA from params if the donor predates EMA.
+        init_dir = args.init_from
+        sub = os.path.join(init_dir, "checkpoints")
+        if os.path.isdir(sub):
+            init_dir = sub
+        donor = restore_checkpoint(init_dir, state)
+        state = state._replace(
+            params=donor.params,
+            ema_params=(donor.ema_params
+                        if state.ema_params is not None else None),
+        )
+        logger.info(
+            f"warm-started params from {init_dir} (donor step "
+            f"{int(donor.step)}; optimizer/schedule/step reset to 0)"
+        )
 
     # Place params/opt_state on the mesh (replicated unless TP rules apply).
     shardings = param_shardings(state.params, mesh)

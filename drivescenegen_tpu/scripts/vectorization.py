@@ -302,6 +302,15 @@ def main(argv=None):
         for k in ("n_ok", "n_rejected", "n_failed"):
             totals[k] += c.get(k, 0)
     totals["wall_time_s"] = round(dt, 1)
+    # Rejection-gate settings travel with the record (ADVICE r4: the
+    # calibrated max_scene_nodes gate changes metric comparability, so every
+    # stats artifact must be self-describing about the gates it ran under).
+    totals["gates"] = {
+        "noise_mask_frac": vcfg.noise_mask_frac,
+        "max_graph_nodes": vcfg.max_graph_nodes,
+        "max_scene_nodes": vcfg.max_scene_nodes,
+        "despeckle_px": vcfg.despeckle_px,
+    }
     with open(os.path.join(outputs_dir, "vectorization_stats.json"), "w") as f:
         json.dump(totals, f, indent=2)
 
