@@ -74,6 +74,12 @@ class ModelConfig:
     # (293 vs 120 GB/s at the 256x256x64 layer, ties elsewhere) — see
     # ops/pallas/group_norm.py. Kept as working kernel infrastructure.
     use_pallas_gn: bool = False
+    # Fused Pallas GroupNorm+SiLU+conv3x3 for the ResnetBlock pairs
+    # (ops/pallas/gn_silu_conv.py): one kernel replaces the normalize
+    # materialization + conv read. Sampling path only (no VJP — training
+    # with this on fails at grad time). Measured A/B: tools/probe_sweep.py
+    # gn_conv arm.
+    use_pallas_gn_conv: bool = False
     # Up-path skip-concat elimination: feed (h, skip) into the resnet and
     # split GroupNorm/conv1/shortcut along the input-channel dim instead of
     # materializing the full-resolution concat (models/unet2d.py

@@ -66,6 +66,10 @@ class GroupNormSiLU(nn.Module):
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    # return_params=True declares the same {scale, bias} tree but returns
+    # the raw params instead of computing — for the fused GN+SiLU+conv
+    # path, which consumes them directly (checkpoints stay identical).
+    return_params: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None):
@@ -86,6 +90,8 @@ class GroupNormSiLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
+        if self.return_params:
+            return scale, bias
         if x2 is None:
             if self.use_pallas and jax.devices()[0].platform == "tpu":
                 return fused_group_norm_silu(x, scale, bias, self.groups, self.eps)
@@ -136,6 +142,42 @@ class SplitInputConv(nn.Module):
         return ya + yb + bias
 
 
+class ConvParams(nn.Module):
+    """Declares exactly nn.Conv's {kernel, bias} parameters (same names,
+    shapes, dtypes, initializers — so the init values and checkpoints are
+    bit-identical to nn.Conv under the same module name) and returns them
+    instead of convolving, for ops that consume the raw kernel (the fused
+    GN+SiLU+conv Pallas path)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            self.kernel_size + (in_channels, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+def _fused_gn_silu_conv(x, scale, bias, kernel, conv_bias, groups):
+    """Dispatch the fused GN+SiLU+conv3x3: compiled Pallas on TPU,
+    interpret mode elsewhere (slow; the flag is a sampling-path opt-in)."""
+    from drivescenegen_tpu.ops.pallas.gn_silu_conv import gn_silu_conv3x3
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return gn_silu_conv3x3(
+        x, scale, bias, kernel, conv_bias, groups=groups,
+        interpret=not on_tpu,
+    )
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm -> SiLU -> conv -> (+time) -> GroupNorm -> SiLU -> conv,
     with a 1x1 shortcut when channel counts change (diffusers ResnetBlock2D).
@@ -150,6 +192,7 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_gn_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -159,12 +202,29 @@ class ResnetBlock(nn.Module):
         deterministic: bool = True,
         skip: Optional[jax.Array] = None,
     ):
+        # Fused GN+SiLU+conv pairs (sampling path): same params, one Pallas
+        # kernel per pair instead of a materialized normalized tensor + a
+        # separate conv. dropout>0 keeps the unfused path (mask between
+        # norm2 and conv2).
+        fuse = self.use_pallas_gn_conv and self.dropout == 0.0
         norm1 = GroupNormSiLU(self.groups, dtype=self.dtype,
-                              use_pallas=self.use_pallas, name="norm1")
+                              use_pallas=self.use_pallas,
+                              return_params=fuse and skip is None,
+                              name="norm1")
         if skip is None:
             in_channels = x.shape[-1]
-            h = norm1(x)
-            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+            if fuse:
+                g_scale, g_bias = norm1(x)
+                k, kb = ConvParams(self.out_channels, (3, 3), name="conv1")(
+                    in_channels
+                )
+                h = _fused_gn_silu_conv(
+                    x.astype(self.dtype), g_scale, g_bias, k, kb, self.groups
+                )
+            else:
+                h = norm1(x)
+                h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                            name="conv1")(h)
         else:
             in_channels = x.shape[-1] + skip.shape[-1]
             ha, hb = norm1(x, skip)
@@ -175,11 +235,23 @@ class ResnetBlock(nn.Module):
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
 
-        h = GroupNormSiLU(self.groups, dtype=self.dtype,
-                          use_pallas=self.use_pallas, name="norm2")(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
+        norm2 = GroupNormSiLU(self.groups, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
+                              return_params=fuse, name="norm2")
+        if fuse:
+            g_scale, g_bias = norm2(h)
+            k, kb = ConvParams(self.out_channels, (3, 3), name="conv2")(
+                self.out_channels
+            )
+            h = _fused_gn_silu_conv(
+                h.astype(self.dtype), g_scale, g_bias, k, kb, self.groups
+            )
+        else:
+            h = norm2(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                        name="conv2")(h)
 
         if in_channels != self.out_channels:
             if skip is None:
@@ -331,6 +403,7 @@ class UNet2D(nn.Module):
         res_kw = dict(
             groups=cfg.norm_num_groups, dropout=cfg.dropout, dtype=dtype,
             use_pallas=cfg.use_pallas_gn,
+            use_pallas_gn_conv=cfg.use_pallas_gn_conv,
         )
 
         # Down path.

@@ -101,6 +101,15 @@ if __name__ == "__main__":
         split = dataclasses.replace(base, split_skip_conv=True)
         bench_one("split skip-concat", split, 8)
         bench_one("split skip-concat b16", split, 16)
+    if which in ("all", "gn_conv"):
+        import dataclasses
+
+        # Fused GN+SiLU+conv3x3 Pallas kernel (docs/PERF_ANALYSIS.md
+        # candidate lever 2): checkpoint-compatible; parity tests in
+        # tests/test_gn_silu_conv.py + tests/test_unet_fused_gn_conv.py.
+        fgc = dataclasses.replace(base, use_pallas_gn_conv=True)
+        bench_one("fused gn+silu+conv", fgc, 8, trace_dir=(
+            "outputs/trace_gnconv" if which == "gn_conv" else None))
     if which in ("all", "unroll"):
         # Scan-body unroll: lets XLA fuse elementwise chains across adjacent
         # denoise steps (docs/PERF_ANALYSIS.md gap item 3). Identical math.
