@@ -177,7 +177,13 @@ def _quality_record():
     import os
 
     rec = {}
-    for run in ("e2e5k_r4", "e2e5k_r3", "e2e5k"):
+    # Primary record: the newest round's 5k run. From r5 on, the shipped
+    # VectorizeConfig default IS the GT-calibrated max_scene_nodes gate and
+    # the stats are self-describing (gate values + ok_scenes_per_s embedded
+    # per record), so the primary record leads with calibrated numbers
+    # (VERDICT r4 weak #7); the r4 as-run record needed a separate
+    # "calibrated" re-vectorization, kept below for older artifacts.
+    for run in ("e2e5k_r5", "e2e5k_r4", "e2e5k_r3", "e2e5k"):
         p = f"outputs/flagship/{run}/vectorization_stats.json"
         if os.path.exists(p):
             with open(p) as f:
@@ -194,6 +200,9 @@ def _quality_record():
                 ),
                 "wall_time_s": st.get("wall_time_s"),
             })
+            for k in ("ok_scenes_per_s", "scenes_per_s", "gates"):
+                if st.get(k) is not None:
+                    rec[k] = st[k]
             mp = f"outputs/flagship/metrics_model_{run[6:] or 'r2'}.json"
             if os.path.exists(mp):
                 with open(mp) as f:
@@ -204,8 +213,13 @@ def _quality_record():
     # The harvest's quality fallback (stochastic DDIM-100 eta=1, run when
     # the deterministic winner rejects >15% as speckle) is the usable
     # quality read in that case — report it alongside, not instead.
-    for key, run in (("fallback", "e2e5k_r4q"), ("fast_arm", "e2e5k_r4sde"),
+    for key, run in (("fast_arm", "e2e5k_r5sde"),
+                     ("fallback", "e2e5k_r4q"), ("fast_arm", "e2e5k_r4sde"),
                      ("calibrated", "e2e5k_r4cal")):
+        if key in rec:
+            continue  # newest round's record for this key already taken
+        if rec.get("run", "").endswith("_r5") and "_r4" in run:
+            continue  # r5 primary: don't mix in stale r4 side records
         # fallback: stochastic DDIM-100 eta=1, run when the deterministic
         # winner rejects >15% as speckle — the usable quality read in that
         # case. fast_arm: SDE-DPM++(2M)-25 at scale — the at-scale quality
@@ -235,13 +249,28 @@ def _quality_record():
             fb["frechet"] = {k: round(v, 3)
                              for k, v in m.get("frechet", {}).items()}
         rec[key] = fb
+    # Round-5 target metric: two-way lane-pair fraction (VERDICT r4 weak
+    # #1 — generated scenes dropped one direction of nearly every two-way
+    # pair, 0.043 vs GT 0.738). Parsed from the harvest's twoway_probe
+    # output so the round-end bench carries the augmentation verdict.
+    import re
+    tw = "outputs/flagship/twoway_r5.txt"
+    if os.path.exists(tw):
+        pairs = dict(re.findall(
+            r"^(GT|model)\s+n=\s*\d+\s+paired-node fraction: mean ([0-9.]+)",
+            open(tw).read(), re.M))
+        if pairs:
+            rec["twoway_paired_node_fraction"] = {
+                k.lower(): float(v) for k, v in pairs.items()
+            }
     # Config-5 conditional-model record (eval_cond_agents guidance sweep on
     # NATIVELY rasterized 128px held-out scenes — the 256->128 downscaled
     # recipe is unmeasurable: its extractor-destroying resize scores even a
     # perfect generator 0/89, see configs/config5_cond_128n.yaml). Falls
     # back to the committed docs copy so a host wipe can't erase the record
     # from the round-end bench.
-    for cp in ("outputs/cond128n/cfg_eval.json",
+    for cp in ("outputs/cond128n/cfg_eval_r5.json",
+               "outputs/cond128n/cfg_eval.json",
                "docs/results_r4/cfg_eval_128native.json"):
         if os.path.exists(cp):
             with open(cp) as f:
