@@ -76,7 +76,16 @@ def main():
     n_chips = len(jax.devices())
     platform = jax.devices()[0].platform
 
-    model = UNet2D(ModelConfig())
+    import os as _os
+
+    # DSG_USE_PALLAS_GN_CONV=1: bench the fused GN+SiLU+conv Pallas arm
+    # (tools/post_harvest_r5.sh records it as a candidate headline when the
+    # probe A/B shows a win; the default stays the measured best).
+    mcfg = ModelConfig(
+        use_pallas_gn_conv=bool(int(_os.environ.get(
+            "DSG_USE_PALLAS_GN_CONV", "0")))
+    )
+    model = UNet2D(mcfg)
     schedule = make_schedule(DiffusionConfig())
     res = 256
     # batch 8 is the measured sweet spot on v5e via axon (r3 sweep,
