@@ -9,6 +9,10 @@ set -x
 cd "$(dirname "$0")/.."
 
 CFG=${1:-drivescenegen_tpu/configs/flagship_256_r5.yaml}
+# GT raster dir for the pairing probes: the r5b recovery corpus (80k) when
+# present, else the original 140k plan's path.
+RAS_DIR=${RAS_DIR:-outputs/flagship/ras80k/GT_70k_s80_dxdy_agents_img}
+[ -d "$RAS_DIR" ] || RAS_DIR=outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img
 
 # 0. Sampler A/B, trimmed to the r4-informed arms: ddim50 eta0 (does more
 #    data/fine-tuning fix the deterministic-path speckle?), the known-good
@@ -54,7 +58,7 @@ for ARM_DIR in outputs/flagship/ab_r5_*; do
   TAG=$(basename "$ARM_DIR")
   [ -f "outputs/flagship/pairing_${TAG}.txt" ] && continue
   python tools/raster_pair_probe.py \
-      outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img \
+      "$RAS_DIR" \
       "$ARM_DIR/diffusion" 64 \
       > "outputs/flagship/pairing_${TAG}.txt" 2>&1
 done
@@ -125,7 +129,7 @@ EOF
         "outputs/flagship/$RUN/graph" \
         > "outputs/flagship/twoway_${RUN#e2e5k_}.txt" 2>&1
     python tools/raster_pair_probe.py \
-        outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img \
+        "$RAS_DIR" \
         "outputs/flagship/$RUN/diffusion" 200 \
         > "outputs/flagship/pairing_${RUN}.txt" 2>&1
   fi

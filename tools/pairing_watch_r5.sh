@@ -9,7 +9,8 @@
 set -u
 cd "$(dirname "$0")/.."
 
-GT=outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img
+GT=${RAS_DIR:-outputs/flagship/ras80k/GT_70k_s80_dxdy_agents_img}
+[ -d "$GT" ] || GT=outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img
 SAMPLES=outputs/flagship/model_r5/samples
 LOG=outputs/flagship/pairing_probe_r5.log
 

@@ -78,8 +78,13 @@ while :; do
         sleep 120
     done
     echo "$(date -u +%FT%TZ) device healthy; relaunching supervised training"
+    # --init_from only when the r4 donor survived (the 21:37Z re-image wiped
+    # it; the r5b recovery run trains from scratch) — --resume of THIS run's
+    # checkpoints takes precedence in train.py either way.
+    INIT_FROM=""
+    [ -d outputs/flagship/model ] && INIT_FROM="--init_from outputs/flagship/model"
     setsid python -m drivescenegen_tpu.scripts.train \
-        --cfg_file "$CFG" --init_from outputs/flagship/model \
+        --cfg_file "$CFG" $INIT_FROM \
         --resume --max_steps "$TARGET_STEP" --supervise 8 \
         >> "$TRAIN_LOG" 2>&1 &
     echo $! > "$PIDFILE"
