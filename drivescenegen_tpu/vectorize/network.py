@@ -90,6 +90,11 @@ class PixelPath:
 
 
 def _is_new_path(paths: List[PixelPath], path: PixelPath) -> bool:
+    """Reference dedup predicate (kept for clarity/parity reading): a path
+    duplicates an accepted one iff it shares endpoints AND any interior
+    pixel. find_paths uses the equivalent endpoint-indexed form below —
+    this list-scan is O(paths·len) per call, quadratic over a flood that
+    meets fronts thousands of times on noise-dense skeletons."""
     candidates = [p for p in paths if p.start == path.start and p.stop == path.stop]
     other_interior = {c for p in candidates for c in p.path[1:-1]}
     return not (other_interior & set(path.path[1:-1]))
@@ -122,6 +127,10 @@ def find_paths(skel: np.ndarray, nodes: list, min_distance: int = 5) -> List[Pix
         return trace
 
     edges: List[PixelPath] = []
+    # Endpoint-indexed union of accepted interiors: the O(1)-lookup form of
+    # _is_new_path (identical accept/reject decisions — a candidate is new
+    # iff no interior pixel is shared with any accepted same-endpoint path).
+    interiors: dict = {}
     frontier = list(nodes)
     while frontier:
         next_frontier = []
@@ -138,13 +147,17 @@ def find_paths(skel: np.ndarray, nodes: list, min_distance: int = 5) -> List[Pix
                     path = [*tc, *tn]
                     endpoints = (path[0], path[-1])
                     start, stop = min(endpoints), max(endpoints)
-                    candidate = PixelPath(start, stop, path)
+                    interior = set(path[1:-1])
+                    seen = interiors.get((start, stop))
                     if (
-                        _is_new_path(edges, candidate)
+                        not (seen and (seen & interior))
                         and start != stop
                         and path[0] != path[-1]
                     ):
-                        edges.append(candidate)
+                        edges.append(PixelPath(start, stop, path))
+                        interiors.setdefault((start, stop), set()).update(
+                            interior
+                        )
         frontier = next_frontier
     return edges
 
