@@ -92,3 +92,38 @@ def test_extract_network_despeckles_by_default():
     skel, g = network.extract_network(s, min_distance=4)
     assert not skel[5, 5]
     assert sorted(d for _, d in g.degree()) == [1, 1]
+
+
+def test_find_paths_parallel_arcs_dedup_matches_reference_predicate():
+    """Two nodes joined by two disjoint arcs (a ring): find_paths must keep
+    BOTH arcs (disjoint interiors) while rejecting re-traced duplicates —
+    and the endpoint-indexed dedup must agree with the reference
+    _is_new_path predicate decision-for-decision."""
+    s = np.zeros((64, 64), bool)
+    s[20:45, 20] = True   # west arc
+    s[20:45, 40] = True   # east arc
+    s[20, 20:41] = True   # north rung
+    s[44, 20:41] = True   # south rung
+    s[10:20, 30] = True   # north stub -> T-junction at (20, 30)
+    s[45:55, 30] = True   # south stub -> T-junction at (44, 30)
+    nodes = network.detect_nodes(s)
+    assert (20, 30) in nodes and (44, 30) in nodes
+    paths = network.find_paths(s, nodes)
+    # Every returned path must be accepted by the reference predicate when
+    # replayed against the previously accepted ones (the endpoint-indexed
+    # dedup agrees with _is_new_path decision-for-decision).
+    replay = []
+    for p in paths:
+        assert network._is_new_path(replay, p)
+        replay.append(p)
+    # The two junctions are joined both ways around the ring: at least one
+    # endpoint pair carries >= 2 paths, and all same-endpoint paths have
+    # disjoint interiors (the dedup keeps genuinely parallel arcs).
+    from collections import Counter
+    pair_counts = Counter((p.start, p.stop) for p in paths)
+    assert max(pair_counts.values()) >= 2
+    for p in paths:
+        interior = set(p.path[1:-1])
+        for q in paths:
+            if q is not p and q.start == p.start and q.stop == p.stop:
+                assert not (interior & set(q.path[1:-1]))
