@@ -132,6 +132,32 @@ EOF
         "$RAS_DIR" \
         "outputs/flagship/$RUN/diffusion" 200 \
         > "outputs/flagship/pairing_${RUN}.txt" 2>&1
+    # Accepted-only raster probe: dense speckle noise pairs by chance
+    # (measured 0.975 on a pure-noise epoch-1 eval sample), so the
+    # all-images probe above over-reads whenever arms contain rejected
+    # noise. Probing only images that produced graphs is the honest
+    # raster-side pairing number (the graph-side twoway probe is
+    # rejection-gated by construction).
+    python - <<'EOF'
+import glob, os, shutil
+run = "outputs/flagship/e2e5k_r5"
+ok = {os.path.basename(g).replace("_graph.pickle", "")
+      for g in glob.glob(f"{run}/graph/*_graph.pickle")}
+dst = f"{run}/diffusion_ok"
+os.makedirs(dst, exist_ok=True)
+n = 0
+for p in sorted(glob.glob(f"{run}/diffusion/*.png")):
+    if os.path.splitext(os.path.basename(p))[0] in ok:
+        shutil.copy(p, dst)
+        n += 1
+        if n >= 200:
+            break
+print(f"accepted-only probe set: {n} images")
+EOF
+    python tools/raster_pair_probe.py \
+        "$RAS_DIR" \
+        "outputs/flagship/$RUN/diffusion_ok" 200 \
+        > "outputs/flagship/pairing_${RUN}_ok.txt" 2>&1
   fi
 ) &
 METRICS_PID=$!
