@@ -14,12 +14,14 @@ CFG=${1:-drivescenegen_tpu/configs/flagship_256_r5.yaml}
 RAS_DIR=${RAS_DIR:-outputs/flagship/ras80k/GT_70k_s80_dxdy_agents_img}
 [ -d "$RAS_DIR" ] || RAS_DIR=outputs/flagship/ras140k/GT_70k_s80_dxdy_agents_img
 
-# 0. Sampler A/B, trimmed to the r4-informed arms: ddim50 eta0 (does more
-#    data/fine-tuning fix the deterministic-path speckle?), the known-good
-#    ddim100 eta1, and the fast stochastic sde 25/35. 64 scenes each;
-#    lowest noise-rejection rate wins the 5k (ties prefer fewer steps).
-for ARM in "ddim 50 trailing 0" "ddim 100 trailing 1" \
-           "sde 25 trailing 0" "sde 35 trailing 0"; do
+# 0. Sampler A/B. Trimmed to TWO arms for the recovery harvest: the wiped
+#    compile cache makes every sampler config a cold ~5-10 min remote
+#    compile, and the round has ~95 min left after training — the r4 winner
+#    (ddim100 eta1) and the fast stochastic arm (sde 25) are the two the
+#    record needs. (ddim50-eta0 answers nothing at a 48k from-scratch
+#    budget: it speckles for budget reasons regardless of direction
+#    balance.) 64 scenes each; lowest noise-rejection rate wins the 5k.
+for ARM in "ddim 100 trailing 1" "sde 25 trailing 0"; do
   set -- $ARM
   TAG=$1$2_$3_e$4
   [ -f outputs/flagship/ab_r5_${TAG}/vectorization_stats.json ] && continue
@@ -31,8 +33,7 @@ for ARM in "ddim 50 trailing 0" "ddim 100 trailing 1" \
 done
 WINNER=$(python - <<'EOF'
 import json
-arms = [("ddim", 50, "trailing", 0), ("ddim", 100, "trailing", 1),
-        ("sde", 25, "trailing", 0), ("sde", 35, "trailing", 0)]
+arms = [("ddim", 100, "trailing", 1), ("sde", 25, "trailing", 0)]
 best, best_key = ("ddim", 100, "trailing", 1), (1e9, 1e9)
 for s, n, sp, eta in arms:
     try:
