@@ -91,5 +91,6 @@ while :; do
     sleep 300
 done
 
-sh tools/harvest_r5.sh "$CFG" > outputs/flagship/harvest_r5.log 2>&1
-echo "$(date -u +%FT%TZ) harvest_r5.sh finished rc=$?"
+HARVEST=${HARVEST_SCRIPT:-tools/harvest_r5.sh}
+sh "$HARVEST" "$CFG" > outputs/flagship/harvest_r5.log 2>&1
+echo "$(date -u +%FT%TZ) $HARVEST finished rc=$?"
