@@ -209,7 +209,7 @@ def _quality_record():
                 ),
                 "wall_time_s": st.get("wall_time_s"),
             })
-            for k in ("ok_scenes_per_s", "scenes_per_s", "gates"):
+            for k in ("ok_scenes_per_s", "scenes_per_s", "gates", "img_res"):
                 if st.get(k) is not None:
                     rec[k] = st[k]
             mp = f"outputs/flagship/metrics_model_{run[6:] or 'r2'}.json"

@@ -343,6 +343,9 @@ def main(argv=None):
         "seed": args.seed,
         "batch_size": batch,
         "n_workers": args.n_workers,
+        # Sampling resolution, so records from different model configs
+        # (e.g. the r5 128px recovery flagship) are distinguishable.
+        "img_res": cfg.model.sample_size,
         # Rejection-gate settings, so every record is self-describing
         # (ADVICE r4: the calibrated max_scene_nodes gate changes metric
         # comparability and must travel with the stats).
