@@ -31,6 +31,10 @@ while :; do
     snap outputs/flagship/metrics_model_r5sde.json metrics_model_r5sde.json
     snap outputs/flagship/twoway_r5sde.txt twoway_r5sde.txt
     snap outputs/cond128n/cfg_eval_r5.json cfg_eval_r5.json
+    snap outputs/cond128n/cfg_eval.json cfg_eval_r5.json
+    snap outputs/flagship/metrics_roundtrip_r5.json metrics_roundtrip_r5.json
+    snap outputs/flagship/twoway_roundtrip_r5.txt twoway_roundtrip_r5.txt
+    snap outputs/flagship/metrics_noise_floor_r5.json metrics_noise_floor_r5.json
     snap outputs/flagship/pairing_probe_r5.log pairing_probe_r5.log
     snap BENCH_local_r5.json BENCH_local_r5.json
     snap BENCH_gnconv_r5.json BENCH_gnconv_r5.json

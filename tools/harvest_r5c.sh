@@ -84,11 +84,14 @@ EOF
     python tools/raster_pair_probe.py "$RAS_DIR" \
         "outputs/flagship/$RUN/diffusion" 200 \
         > "outputs/flagship/pairing_${RUN}.txt" 2>&1
-    # 128 calibration rows: roundtrip ceiling + noise floor.
+    # 128 calibration rows: roundtrip ceiling + noise floor (usually
+    # precomputed during training; skip if present).
+    [ -f outputs/flagship/metrics_roundtrip_r5.json ] || \
     python -m drivescenegen_tpu.scripts.compute_map_metrics \
         --gt_dir outputs/flagship/gt --gen_dir outputs/flagship/roundtrip \
         --json_out outputs/flagship/metrics_roundtrip_r5.json \
         > outputs/flagship/metrics_roundtrip_r5.log 2>&1
+    [ -f outputs/flagship/twoway_roundtrip_r5.txt ] || \
     python tools/twoway_probe.py outputs/flagship/gt/graph \
         outputs/flagship/roundtrip/graph \
         > outputs/flagship/twoway_roundtrip_r5.txt 2>&1
@@ -115,9 +118,9 @@ if [ ! -f outputs/flagship/e2e5k_r5sde/vectorization_stats.json ]; then
   fi
 fi
 
-# 3. Headline bench on the freed chip (256 flagship throughput; quality
-#    record embeds the r5 artifacts written above).
-timeout 1800 python bench.py | tee BENCH_local_r5.json
+# 3. Headline bench moved to tools/post_harvest_r5d.sh (runs LAST, after
+#    the fused-kernel A/B and the config-5 retrain, so the quality record
+#    embeds every r5 artifact).
 
 wait "$METRICS_PID" 2>/dev/null || true
 echo "harvest_r5c done"
